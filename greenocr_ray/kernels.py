@@ -1,0 +1,462 @@
+"""Pure-numpy image kernels for the faded-document OCR chain.
+
+Deterministic (fixed float32 op order, no threads) reimplementations of
+the reference's per-image transforms plus the north-star additions:
+
+- grayscale               (reference: exe_t.py:509, kornia rgb_to_grayscale)
+- resize_keep_aspect      (exe_t.py:211-219, cv2.INTER_CUBIC → bilinear here)
+- percentile_stretch      (exe_t.py:253-262,296 — faded-ink contrast fix)
+- clahe                   (north-star upgrade of the stretch: tile-wise
+                           contrast-limited adaptive histogram equalization)
+- unsharp                 (exe_t.py:299-300 — x + 1.5*(x - gauss3x3(x)))
+- laplacian               (train.py:629-632 / one_dm/laplace4.py:31-32)
+- otsu_threshold          (global inter-class-variance argmax)
+- sauvola_threshold       (windowed mean/std via integral images)
+- rotate / estimate_skew  (projection-profile deskew; the reference's
+                           affine-rotation capability, train.py:461-466)
+- segmentation helpers    (row/column ink-projection line & glyph cuts —
+                           the geometric left-to-right ordering contract,
+                           SURVEY.md §2.6)
+
+All kernels take/return numpy arrays; no Ray, no I/O. They run inside
+the OCR actor's ``__call__`` (greenocr_ray/stages/ocr.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------- basics
+
+
+def to_grayscale(img: np.ndarray) -> np.ndarray:
+    """HxWx{1,3,4} uint8/float -> HxW float32 in [0,1]. ITU-R 601 weights."""
+    a = np.asarray(img)
+    if a.dtype == np.uint8:
+        a = a.astype(np.float32) / np.float32(255.0)
+    else:
+        a = a.astype(np.float32)
+    if a.ndim == 2:
+        return a
+    if a.shape[2] == 1:
+        return a[:, :, 0]
+    # RGBA: composite over white background first (fixture 'step.png' case)
+    if a.shape[2] == 4:
+        alpha = a[:, :, 3:4]
+        a = a[:, :, :3] * alpha + (np.float32(1.0) - alpha)
+    w = np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    return a[:, :, :3] @ w
+
+
+def resize_keep_aspect(img: np.ndarray, target_h: int = 64) -> np.ndarray:
+    """Aspect-preserving resize to fixed height (exe_t.py:211-219)."""
+    h, w = img.shape[:2]
+    new_w = max(1, int(round(w * (target_h / h))))
+    return resize_bilinear(img, target_h, new_w)
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic bilinear resample of an HxW float32 image."""
+    img = img.astype(np.float32)
+    h, w = img.shape[:2]
+    if (h, w) == (out_h, out_w):
+        return img
+    # pixel-center aligned sampling
+    ys = (np.arange(out_h, dtype=np.float32) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w, dtype=np.float32) + 0.5) * (w / out_w) - 0.5
+    ys = np.clip(ys, 0, h - 1)
+    xs = np.clip(xs, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0).astype(np.float32)[:, None]
+    wx = (xs - x0).astype(np.float32)[None, :]
+    tl = img[np.ix_(y0, x0)]
+    tr = img[np.ix_(y0, x1)]
+    bl = img[np.ix_(y1, x0)]
+    br = img[np.ix_(y1, x1)]
+    top = tl * (1 - wx) + tr * wx
+    bot = bl * (1 - wx) + br * wx
+    return top * (1 - wy) + bot * wy
+
+
+# ----------------------------------------------------- contrast / enhance
+
+
+def percentile_stretch(
+    img: np.ndarray, lo_pct: float = 1.0, hi_pct: float = 99.0
+) -> np.ndarray:
+    """Clamp (x - p_lo) / (p_hi - p_lo) to [0,1] (exe_t.py:253-262)."""
+    lo = np.percentile(img, lo_pct).astype(np.float32)
+    hi = np.percentile(img, hi_pct).astype(np.float32)
+    if hi - lo < 1e-6:
+        return np.zeros_like(img, dtype=np.float32)
+    return np.clip((img - lo) / (hi - lo), 0.0, 1.0).astype(np.float32)
+
+
+def clahe(
+    img: np.ndarray,
+    tiles: tuple[int, int] = (4, 8),
+    clip_limit: float = 4.0,
+    nbins: int = 64,
+) -> np.ndarray:
+    """Contrast-limited adaptive histogram equalization, pure numpy.
+
+    Tile-wise clipped-histogram CDF mapping with bilinear blending
+    between tile centers (standard CLAHE; north-star upgrade of the
+    reference's global percentile stretch, exe_t.py:253-262).
+    """
+    img = np.clip(img.astype(np.float32), 0.0, 1.0)
+    h, w = img.shape
+    ty, tx = tiles
+    ty = max(1, min(ty, h))
+    tx = max(1, min(tx, w))
+    q = np.minimum((img * nbins).astype(np.int32), nbins - 1)
+    # tile boundaries
+    ye = np.linspace(0, h, ty + 1).astype(np.int64)
+    xe = np.linspace(0, w, tx + 1).astype(np.int64)
+    # per-tile clipped CDF lookup tables
+    luts = np.zeros((ty, tx, nbins), dtype=np.float32)
+    for i in range(ty):
+        for j in range(tx):
+            tile = q[ye[i] : ye[i + 1], xe[j] : xe[j + 1]]
+            hist = np.bincount(tile.ravel(), minlength=nbins).astype(np.float32)
+            n = tile.size
+            limit = clip_limit * n / nbins
+            excess = np.maximum(hist - limit, 0.0).sum()
+            hist = np.minimum(hist, limit) + excess / nbins
+            cdf = np.cumsum(hist)
+            cdf = cdf / cdf[-1]
+            luts[i, j] = cdf.astype(np.float32)
+    # bilinear interpolation between the four surrounding tile LUTs
+    yc = (ye[:-1] + ye[1:]) / 2.0  # tile centers
+    xc = (xe[:-1] + xe[1:]) / 2.0
+    yy = np.arange(h, dtype=np.float32)
+    xx = np.arange(w, dtype=np.float32)
+    iy = np.clip(np.searchsorted(yc, yy) - 1, 0, max(ty - 2, 0))
+    ix = np.clip(np.searchsorted(xc, xx) - 1, 0, max(tx - 2, 0))
+    if ty > 1:
+        fy = np.clip((yy - yc[iy]) / np.maximum(yc[iy + 1] - yc[iy], 1e-6), 0, 1)
+    else:
+        fy = np.zeros(h, dtype=np.float32)
+    if tx > 1:
+        fx = np.clip((xx - xc[ix]) / np.maximum(xc[ix + 1] - xc[ix], 1e-6), 0, 1)
+    else:
+        fx = np.zeros(w, dtype=np.float32)
+    iy2 = np.minimum(iy + 1, ty - 1)
+    ix2 = np.minimum(ix + 1, tx - 1)
+    IY = iy[:, None]
+    IY2 = iy2[:, None]
+    IX = ix[None, :]
+    IX2 = ix2[None, :]
+    tl = luts[IY, IX, q]
+    tr = luts[IY, IX2, q]
+    bl = luts[IY2, IX, q]
+    br = luts[IY2, IX2, q]
+    FY = fy[:, None]
+    FX = fx[None, :]
+    out = (tl * (1 - FX) + tr * FX) * (1 - FY) + (bl * (1 - FX) + br * FX) * FY
+    return out.astype(np.float32)
+
+
+def gaussian_blur3(img: np.ndarray, sigma: float = 1.0) -> np.ndarray:
+    """Separable 3x3 gaussian, reflect padding (exe_t.py:299 semantics)."""
+    x = np.array([-1.0, 0.0, 1.0], dtype=np.float32)
+    k = np.exp(-(x**2) / (2.0 * sigma * sigma))
+    k /= k.sum()
+    pad = np.pad(img.astype(np.float32), 1, mode="reflect")
+    tmp = k[0] * pad[:, :-2] + k[1] * pad[:, 1:-1] + k[2] * pad[:, 2:]
+    out = k[0] * tmp[:-2, :] + k[1] * tmp[1:-1, :] + k[2] * tmp[2:, :]
+    return out
+
+
+def gaussian_blur(img: np.ndarray, sigma: float) -> np.ndarray:
+    """Separable gaussian with radius ceil(3*sigma), reflect padding."""
+    if sigma <= 0:
+        return img.astype(np.float32)
+    r = max(1, int(np.ceil(3.0 * sigma)))
+    x = np.arange(-r, r + 1, dtype=np.float32)
+    k = np.exp(-(x**2) / (2.0 * sigma * sigma))
+    k /= k.sum()
+    pad = np.pad(img.astype(np.float32), ((0, 0), (r, r)), mode="reflect")
+    tmp = np.zeros_like(img, dtype=np.float32)
+    for i, kv in enumerate(k):
+        tmp += kv * pad[:, i : i + img.shape[1]]
+    pad = np.pad(tmp, ((r, r), (0, 0)), mode="reflect")
+    out = np.zeros_like(img, dtype=np.float32)
+    for i, kv in enumerate(k):
+        out += kv * pad[i : i + img.shape[0], :]
+    return out
+
+
+def unsharp(img: np.ndarray, amount: float = 1.5) -> np.ndarray:
+    """x + amount*(x - gauss3x3(x)), clamped to [0,1] (exe_t.py:299-300)."""
+    blurred = gaussian_blur3(img, sigma=1.0)
+    return np.clip(img + amount * (img - blurred), 0.0, 1.0).astype(np.float32)
+
+
+def laplacian(img: np.ndarray) -> np.ndarray:
+    """3x3 Laplacian, min-max normalized to [0,1] (train.py:629-632)."""
+    pad = np.pad(img.astype(np.float32), 1, mode="reflect")
+    lap = (
+        pad[:-2, 1:-1] + pad[2:, 1:-1] + pad[1:-1, :-2] + pad[1:-1, 2:]
+        - 4.0 * pad[1:-1, 1:-1]
+    )
+    lo, hi = lap.min(), lap.max()
+    if hi - lo < 1e-8:
+        return np.zeros_like(lap)
+    return ((lap - lo) / (hi - lo)).astype(np.float32)
+
+
+# ------------------------------------------------------------ binarization
+
+
+def otsu_threshold(img: np.ndarray, nbins: int = 256) -> float:
+    """Global Otsu threshold (inter-class variance argmax) on [0,1] image."""
+    q = np.minimum((np.clip(img, 0, 1) * nbins).astype(np.int32), nbins - 1)
+    hist = np.bincount(q.ravel(), minlength=nbins).astype(np.float64)
+    total = hist.sum()
+    if total == 0:
+        return 0.5
+    p = hist / total
+    omega = np.cumsum(p)
+    mu = np.cumsum(p * np.arange(nbins))
+    mu_t = mu[-1]
+    denom = omega * (1.0 - omega)
+    denom[denom == 0] = np.nan
+    sigma_b = (mu_t * omega - mu) ** 2 / denom
+    k = int(np.nanargmax(sigma_b))
+    return (k + 0.5) / nbins
+
+
+def _integral(img: np.ndarray) -> np.ndarray:
+    s = np.zeros((img.shape[0] + 1, img.shape[1] + 1), dtype=np.float64)
+    np.cumsum(np.cumsum(img, axis=0, dtype=np.float64), axis=1, out=s[1:, 1:])
+    return s
+
+
+def sauvola_threshold(
+    img: np.ndarray, window: int = 25, k: float = 0.2, r: float = 0.5
+) -> np.ndarray:
+    """Per-pixel Sauvola threshold T = m*(1 + k*(s/r - 1)) via integral images."""
+    h, w = img.shape
+    half = window // 2
+    ii = _integral(img)
+    ii2 = _integral(img.astype(np.float64) ** 2)
+    y0 = np.clip(np.arange(h) - half, 0, h)
+    y1 = np.clip(np.arange(h) + half + 1, 0, h)
+    x0 = np.clip(np.arange(w) - half, 0, w)
+    x1 = np.clip(np.arange(w) + half + 1, 0, w)
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    s1 = ii[np.ix_(y1, x1)] - ii[np.ix_(y0, x1)] - ii[np.ix_(y1, x0)] + ii[np.ix_(y0, x0)]
+    s2 = (
+        ii2[np.ix_(y1, x1)] - ii2[np.ix_(y0, x1)] - ii2[np.ix_(y1, x0)] + ii2[np.ix_(y0, x0)]
+    )
+    mean = s1 / area
+    var = np.maximum(s2 / area - mean**2, 0.0)
+    std = np.sqrt(var)
+    return (mean * (1.0 + k * (std / r - 1.0))).astype(np.float32)
+
+
+def binarize(img: np.ndarray, method: str = "otsu") -> np.ndarray:
+    """Ink mask: 1 where darker than threshold (ink is dark on light bg)."""
+    if method == "otsu":
+        t = otsu_threshold(img)
+        return (img < t).astype(np.uint8)
+    if method == "sauvola":
+        t = sauvola_threshold(img)
+        return (img < t).astype(np.uint8)
+    raise ValueError(f"unknown binarization method {method!r}")
+
+
+# ---------------------------------------------------------------- deskew
+
+
+def rotate(img: np.ndarray, angle_deg: float, fill: float = 1.0) -> np.ndarray:
+    """Rotate about the image center, bilinear, same canvas, bg fill."""
+    if abs(angle_deg) < 1e-9:
+        return img.astype(np.float32)
+    h, w = img.shape
+    theta = np.deg2rad(np.float64(angle_deg))
+    c, s = np.cos(theta), np.sin(theta)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy, xx = np.meshgrid(
+        np.arange(h, dtype=np.float64), np.arange(w, dtype=np.float64), indexing="ij"
+    )
+    # inverse map: output (y,x) samples input rotated by -angle
+    xs = c * (xx - cx) + s * (yy - cy) + cx
+    ys = -s * (xx - cx) + c * (yy - cy) + cy
+    valid = (xs >= 0) & (xs <= w - 1) & (ys >= 0) & (ys <= h - 1)
+    xs = np.clip(xs, 0, w - 1)
+    ys = np.clip(ys, 0, h - 1)
+    x0 = np.floor(xs).astype(np.int64)
+    y0 = np.floor(ys).astype(np.int64)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fx = (xs - x0).astype(np.float32)
+    fy = (ys - y0).astype(np.float32)
+    im = img.astype(np.float32)
+    top = im[y0, x0] * (1 - fx) + im[y0, x1] * fx
+    bot = im[y1, x0] * (1 - fx) + im[y1, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    out[~valid] = np.float32(fill)
+    return out.astype(np.float32)
+
+
+def estimate_skew(
+    img: np.ndarray,
+    max_angle: float = 4.0,
+    coarse_step: float = 0.5,
+    fine_step: float = 0.1,
+) -> float:
+    """Projection-profile skew estimate.
+
+    Maximizes the variance of the row-ink projection over candidate
+    angles (coarse grid then fine refinement) — the deterministic
+    stand-in for Hough-line deskew; recovers the reference's ±2.5°
+    affine rotations (train.py:461-466).
+    """
+    ink = 1.0 - img  # dark ink -> high values
+    # downsample BOTH axes by the same step (column-only downsampling
+    # would change the aspect ratio and hence the apparent skew angle)
+    step = max(1, img.shape[1] // 800)
+    ink = ink[::step, ::step]
+    # pad vertically so over-rotation can't clip ink off the canvas and
+    # distort the objective
+    disp = int(np.ceil(np.tan(np.deg2rad(max_angle)) * ink.shape[1] / 2.0)) + 2
+    ink = np.pad(ink, ((disp, disp), (0, 0)))
+
+    def score(angle: float) -> float:
+        r = rotate(ink, angle, fill=0.0)
+        proj = r.sum(axis=1)
+        return float(np.var(proj))
+
+    best = 0.0
+    best_s = score(0.0)
+    a = -max_angle
+    while a <= max_angle + 1e-9:
+        s = score(a)
+        if s > best_s:
+            best_s, best = s, a
+        a += coarse_step
+    lo, hi = best - coarse_step, best + coarse_step
+    a = lo
+    while a <= hi + 1e-9:
+        s = score(a)
+        if s > best_s:
+            best_s, best = s, a
+        a += fine_step
+    return float(best)
+
+
+def deskew(img: np.ndarray, max_angle: float = 4.0) -> tuple[np.ndarray, float]:
+    angle = estimate_skew(img, max_angle=max_angle)
+    # pad vertically before rotating back so end-of-line glyphs on wide
+    # scans can't clip off the canvas (the rotated corners move by
+    # ~ w/2 * tan(angle) vertically)
+    disp = int(np.ceil(np.tan(np.deg2rad(abs(angle) + 0.2)) * img.shape[1] / 2.0)) + 2
+    padded = np.pad(img, ((disp, disp), (0, 0)), constant_values=np.float32(1.0))
+    return rotate(padded, -angle, fill=1.0), angle
+
+
+# ------------------------------------------------------------ segmentation
+
+
+def row_bands(mask: np.ndarray, min_ink: int = 1) -> list[tuple[int, int]]:
+    """Text-line bands [y0,y1) from the row ink projection of a 0/1 mask."""
+    proj = mask.sum(axis=1)
+    on = proj >= min_ink
+    bands: list[tuple[int, int]] = []
+    start = None
+    for y, v in enumerate(on):
+        if v and start is None:
+            start = y
+        elif not v and start is not None:
+            bands.append((start, y))
+            start = None
+    if start is not None:
+        bands.append((start, len(on)))
+    return bands
+
+
+def column_segments(
+    mask: np.ndarray, min_gap: int = 1, min_ink: int = 1
+) -> list[tuple[int, int]]:
+    """Glyph segments [x0,x1) from the column ink projection of a 0/1 mask.
+
+    Consecutive ink runs separated by >= min_gap blank columns become
+    separate segments — geometric left-to-right character order
+    (SURVEY.md §2.6 contract (b)).
+    """
+    proj = mask.sum(axis=0)
+    on = proj >= min_ink
+    segs: list[tuple[int, int]] = []
+    start = None
+    gap = 0
+    for x, v in enumerate(on):
+        if v:
+            if start is None:
+                start = x
+            gap = 0
+        else:
+            if start is not None:
+                gap += 1
+                if gap >= min_gap:
+                    segs.append((start, x - gap + 1))
+                    start = None
+                    gap = 0
+    if start is not None:
+        segs.append((start, len(on)))
+    return segs
+
+
+def connected_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
+    """4-connected component labeling (two-pass union-find), pure numpy.
+
+    Returns (labels HxW int32 with 0 = background, n_components).
+    Used by the line/word grouping path for non-grid glyph layouts.
+    """
+    h, w = mask.shape
+    labels = np.zeros((h, w), dtype=np.int32)
+    parent = [0]  # parent[0] unused
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    nxt = 1
+    for y in range(h):
+        row = mask[y]
+        for x in range(w):
+            if not row[x]:
+                continue
+            up = labels[y - 1, x] if y > 0 else 0
+            left = labels[y, x - 1] if x > 0 else 0
+            if up and left:
+                labels[y, x] = min(up, left)
+                union(up, left)
+            elif up or left:
+                labels[y, x] = up or left
+            else:
+                parent.append(nxt)
+                labels[y, x] = nxt
+                nxt += 1
+    # second pass: flatten
+    remap = np.zeros(nxt, dtype=np.int32)
+    roots: dict[int, int] = {}
+    for lbl in range(1, nxt):
+        r = find(lbl)
+        if r not in roots:
+            roots[r] = len(roots) + 1
+        remap[lbl] = roots[r]
+    return remap[labels], len(roots)

@@ -1,0 +1,143 @@
+"""Line-image text recognition (the engine's "model").
+
+Replaces the reference's CRNN + CTC decode (exe_t.py:370-427,519-533)
+with a deterministic chain over the same semantic steps:
+
+    enhance (stretch/CLAHE + unsharp)      exe_t.py:253-300
+    -> deskew (projection-profile)          north-star Hough-deskew analog
+    -> binarize (Otsu / Sauvola)            north-star adaptive binarization
+    -> despeckle + line band                segmentation
+    -> column-projection glyph segments     geometric left-to-right order
+    -> per-glyph template match vs atlas    the "model forward" (M1/M3)
+    -> space insertion from gap widths      CTC-style sequence assembly (M4/M5)
+    -> whitespace normalize                 exe_t.py:531-533
+
+The atlas matrices play the role of model weights: built once per
+recognizer instance (actor ``__init__``), reused across batches — the
+fix for the reference's per-image model construction (exe_t.py:485-496).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import kernels
+from .glyphs import GLYPH_H, GLYPH_W, SCALE, SPACE_GAP_THRESHOLD_U, atlas
+from .vocab import normalize_whitespace
+
+_MIN_SEGMENT_AREA = 30  # ink pixels; smaller segments are noise specks
+
+
+class Recognizer:
+    """Holds the glyph-template 'weights'; one instance per OCR actor."""
+
+    def __init__(
+        self,
+        enhance: str = "clahe",  # 'clahe' | 'stretch'
+        binarization: str = "otsu",  # 'otsu' | 'sauvola'
+        scale: int = SCALE,
+    ):
+        a = atlas()
+        self.chars = "".join(a.keys())
+        # ±1 templates, one row per char (normalized correlation target)
+        self.templates = np.stack(
+            [a[c].astype(np.float32).ravel() * 2.0 - 1.0 for c in self.chars]
+        )
+        self.enhance = enhance
+        self.binarization = binarization
+        self.scale = scale
+
+    # ------------------------------------------------------------ steps
+
+    def _enhance(self, img: np.ndarray) -> np.ndarray:
+        if self.enhance == "clahe":
+            out = kernels.clahe(img)
+        else:
+            out = kernels.percentile_stretch(img)
+        return kernels.unsharp(out)
+
+    @staticmethod
+    def _despeckle(mask: np.ndarray) -> np.ndarray:
+        """Remove ink pixels with <=1 of 8 ink neighbors (impulse noise)."""
+        p = np.pad(mask, 1)
+        neigh = (
+            p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
+            + p[1:-1, :-2] + p[1:-1, 2:]
+            + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]
+        )
+        return (mask & (neigh >= 2)).astype(np.uint8)
+
+    @staticmethod
+    def _pool_to_grid(mask: np.ndarray, gh: int, gw: int) -> np.ndarray:
+        """Area-average a 0/1 mask down to a (gh, gw) float grid."""
+        h, w = mask.shape
+        ye = np.linspace(0, h, gh + 1)
+        xe = np.linspace(0, w, gw + 1)
+        ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+        np.cumsum(
+            np.cumsum(mask, axis=0, dtype=np.float64), axis=1, out=ii[1:, 1:]
+        )
+        # fractional-boundary area sums via bilinear sampling of the integral image
+        def sample(yy: np.ndarray, xx: np.ndarray) -> np.ndarray:
+            y0 = np.floor(yy).astype(np.int64)
+            x0 = np.floor(xx).astype(np.int64)
+            y1 = np.minimum(y0 + 1, h)
+            x1 = np.minimum(x0 + 1, w)
+            fy = yy - y0
+            fx = xx - x0
+            g00 = ii[np.ix_(y0, x0)]
+            g01 = ii[np.ix_(y0, x1)]
+            g10 = ii[np.ix_(y1, x0)]
+            g11 = ii[np.ix_(y1, x1)]
+            top = g00 * (1 - fx)[None, :] + g01 * fx[None, :]
+            bot = g10 * (1 - fx)[None, :] + g11 * fx[None, :]
+            return top * (1 - fy)[:, None] + bot * fy[:, None]
+
+        s = sample(ye, xe)
+        areas = (
+            s[1:, 1:] - s[:-1, 1:] - s[1:, :-1] + s[:-1, :-1]
+        )
+        cell = (ye[1] - ye[0]) * (xe[1] - xe[0])
+        return (areas / max(cell, 1e-9)).astype(np.float32)
+
+    # ------------------------------------------------------------- main
+
+    def recognize(self, img: np.ndarray) -> tuple[str, float]:
+        """Grayscale float [0,1] HxW line image -> (text, mean_confidence)."""
+        enhanced = self._enhance(img.astype(np.float32))
+        deskewed, _angle = kernels.deskew(enhanced)
+        mask = kernels.binarize(deskewed, method=self.binarization)
+        mask = self._despeckle(mask)
+        bands = [b for b in kernels.row_bands(mask, min_ink=2) if b[1] - b[0] >= 4]
+        if not bands:
+            return "", 0.0
+        y0 = min(b[0] for b in bands)
+        y1 = max(b[1] for b in bands)
+        line = mask[y0:y1, :]
+        segs = kernels.column_segments(line, min_gap=2, min_ink=2)
+        segs = [
+            (x0, x1)
+            for (x0, x1) in segs
+            if int(line[:, x0:x1].sum()) >= _MIN_SEGMENT_AREA
+        ]
+        if not segs:
+            return "", 0.0
+        space_px = SPACE_GAP_THRESHOLD_U * self.scale
+        out: list[str] = []
+        confs: list[float] = []
+        prev_end: int | None = None
+        for x0, x1 in segs:
+            if prev_end is not None and (x0 - prev_end) > space_px:
+                out.append(" ")
+            prev_end = x1
+            cell = line[:, x0:x1]
+            rows = np.nonzero(cell.any(axis=1))[0]
+            cell = cell[rows[0] : rows[-1] + 1, :]
+            grid = self._pool_to_grid(cell, GLYPH_H, GLYPH_W)
+            v = (np.clip(grid, 0, 1) * 2.0 - 1.0).ravel()
+            scores = self.templates @ v / self.templates.shape[1]
+            k = int(np.argmax(scores))
+            out.append(self.chars[k])
+            confs.append(float(scores[k]))
+        text = normalize_whitespace("".join(out))
+        return text, float(np.mean(confs)) if confs else 0.0
