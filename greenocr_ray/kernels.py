@@ -226,6 +226,8 @@ def otsu_threshold(img: np.ndarray, nbins: int = 256) -> float:
     denom = omega * (1.0 - omega)
     denom[denom == 0] = np.nan
     sigma_b = (mu_t * omega - mu) ** 2 / denom
+    if np.isnan(sigma_b).all():  # constant image: no separating threshold
+        return 0.5
     k = int(np.nanargmax(sigma_b))
     return (k + 0.5) / nbins
 
@@ -347,7 +349,10 @@ def estimate_skew(
         if s > best_s:
             best_s, best = s, a
         a += fine_step
-    return float(best)
+    # `best` is the rotation that ALIGNS the ink (the correction); the
+    # skew of the input is its negation: rotate(img, -estimate_skew(img))
+    # deskews.
+    return float(-best)
 
 
 def deskew(img: np.ndarray, max_angle: float = 4.0) -> tuple[np.ndarray, float]:

@@ -1,0 +1,153 @@
+"""The flagship extraction pipeline (engine shape, SURVEY.md §3.1).
+
+    read documents (lance/parquet)
+      -> explode spans (stateless, vectorized Arrow)
+      -> text branch:  clean html/pdf/text spans   (stateless map_batches)
+      -> media branch: hash-join payloads on media_ref (the one pixel
+                       shuffle) -> OCR actor pool  (stateful map_batches)
+      -> union -> reassemble per doc_id (groupby shuffle moves only text)
+      -> partitioned atomic write + lineage records (resumable)
+
+Scale notes:
+- pixels cross the exchange exactly once (the media_ref join); OCR
+  output and the doc_id reassembly shuffle carry only text;
+- the OCR stage is an actor pool sized by ``ocr_concurrency`` with
+  small ``batch_size`` so wide-scan stragglers stay short (the skew
+  strategy replacing the reference's size-bucketing, train.py:899-1004);
+- resume filters completed partitions out BEFORE execution, so a
+  restarted job reads only unfinished work.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..sources.storage import read_table
+from ..stages.clean_text import clean_text_spans
+from ..stages.explode import assemble_group, explode_spans
+from ..stages.join import join_media_payloads
+from ..stages.ocr import OCR_BATCH_SIZE, OcrActor
+from ..state.lineage import PartitionWriter, completed_partitions, partition_ids
+
+
+@dataclass
+class ExtractOptions:
+    enhance: str = "clahe"  # 'clahe' | 'stretch'
+    binarization: str = "otsu"  # 'otsu' | 'sauvola'
+    n_parts: int = 16  # output/checkpoint partitions
+    join_partitions: int = 16  # media_ref hash-join partitions
+    ocr_batch_size: int = OCR_BATCH_SIZE
+    ocr_concurrency: tuple[int, int] | int = (1, 8)
+
+
+def _split_branches(
+    documents: rd.Dataset,
+) -> tuple[rd.Dataset, rd.Dataset]:
+    """Explode spans and split into (text_spans, media_spans)."""
+
+    def non_media(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t.column("kind"), "media"))
+
+    def only_media(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("kind"), "media"))
+
+    flat_text = documents.map_batches(
+        explode_spans, batch_format="pyarrow"
+    ).map_batches(non_media, batch_format="pyarrow")
+    flat_media = documents.map_batches(
+        explode_spans, batch_format="pyarrow"
+    ).map_batches(only_media, batch_format="pyarrow")
+    return flat_text, flat_media
+
+
+def extract_flat(
+    documents: rd.Dataset, media: rd.Dataset, opts: ExtractOptions | None = None
+) -> rd.Dataset:
+    """Extraction up to flat output spans
+    (doc_id, offset, kind, text, media_ref, confidence) — no reassembly."""
+    opts = opts or ExtractOptions()
+    text_spans, media_spans = _split_branches(documents)
+    cleaned = text_spans.map_batches(clean_text_spans, batch_format="pyarrow")
+    payload_cols = ["media_ref", "width", "height", "pixels"]
+    joined = join_media_payloads(
+        media_spans,
+        media.select_columns(payload_cols),  # never ship true_text
+        num_partitions=opts.join_partitions,
+    )
+    ocr = joined.map_batches(
+        OcrActor,
+        fn_constructor_kwargs={
+            "enhance": opts.enhance,
+            "binarization": opts.binarization,
+        },
+        batch_format="pyarrow",
+        batch_size=opts.ocr_batch_size,
+        concurrency=opts.ocr_concurrency,
+        num_cpus=1,
+    )
+    return cleaned.union(ocr)
+
+
+def _staged(out: rd.Dataset) -> rd.Dataset:
+    """Stage the flat span output before a sort-based groupby.
+
+    Ray's sort samples its input by truncating upstream execution; a
+    truncated hash-join leaves zero-shard partitions whose blocks lose
+    their schema and crash the join finalize (observed on Ray 2.49.2).
+    Materializing the flat spans — text only, pixels were dropped at
+    the OCR stage — decouples the sort's sampling pass from the join.
+    The staged data is roughly the size of the final output, not the
+    input, so this holds at scale.
+    """
+    return out.materialize()
+
+
+def extract_dataset(
+    documents: rd.Dataset, media: rd.Dataset, opts: ExtractOptions | None = None
+) -> rd.Dataset:
+    """Full extraction -> (doc_id, spans, mean_confidence) rows."""
+    out = _staged(extract_flat(documents, media, opts))
+    return out.groupby("doc_id").map_groups(assemble_group, batch_format="pandas")
+
+
+def run_extraction(
+    documents_uri: str,
+    media_uri: str,
+    out_dir: str,
+    opts: ExtractOptions | None = None,
+) -> pd.DataFrame:
+    """Checkpointed, resumable run. Returns the lineage records of the
+    partitions processed in THIS run (already-done partitions are
+    skipped before execution)."""
+    opts = opts or ExtractOptions()
+    done = completed_partitions(out_dir)
+    docs = read_table(documents_uri)
+    if done:
+        done_set = frozenset(done)
+        n_parts = opts.n_parts
+
+        def drop_done(t: pa.Table) -> pa.Table:
+            pids = partition_ids(t.column("doc_id").to_pylist(), n_parts)
+            keep = pa.array([int(p) not in done_set for p in pids])
+            return t.filter(keep)
+
+        docs = docs.map_batches(drop_done, batch_format="pyarrow")
+    media = read_table(media_uri)
+    out = extract_flat(docs, media, opts)
+
+    n_parts = opts.n_parts
+
+    def add_part_id(t: pa.Table) -> pa.Table:
+        pids = partition_ids(t.column("doc_id").to_pylist(), n_parts)
+        return t.append_column("part_id", pa.array(pids, type=pa.int32()))
+
+    out = _staged(out.map_batches(add_part_id, batch_format="pyarrow"))
+    lineage = out.groupby("part_id").map_groups(
+        PartitionWriter(out_dir), batch_format="pandas"
+    )
+    return lineage.to_pandas()

@@ -1,0 +1,69 @@
+"""Stateful OCR stage — actor-pool ``map_batches``.
+
+The reference constructs its enhancement model once PER IMAGE inside
+the inference loop (exe_t.py:485-496) — the canonical anti-pattern.
+Here the recognizer (glyph-atlas "weights" + compiled chain) is built
+once per actor in ``__init__`` and reused across batches:
+
+    ds.map_batches(OcrActor, batch_format="pyarrow",
+                   batch_size=OCR_BATCH_SIZE, concurrency=(1, N),
+                   num_cpus=1)
+
+Batches arrive as flat media-span rows joined with their payloads:
+(doc_id, offset, media_ref, width, height, pixels). Payload decode
+(binary -> numpy raster) happens in-actor, zero file I/O.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..recognize import Recognizer
+
+# media payloads are large (a wide scan is ~100 KB raw); keep OCR
+# batches small so one batch x pool concurrency stays well inside a
+# worker's heap and stragglers stay short (SURVEY.md §4 skew row)
+OCR_BATCH_SIZE = 32
+
+
+class OcrActor:
+    def __init__(self, enhance: str = "clahe", binarization: str = "otsu"):
+        # once per actor: the 'model load' (cf. exe_t.py:461-471 torch.load)
+        self.recognizer = Recognizer(enhance=enhance, binarization=binarization)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths = batch.column("width").to_numpy()
+        heights = batch.column("height").to_numpy()
+        pixels = batch.column("pixels").to_pylist()
+        texts: list[str] = []
+        confs = np.zeros(batch.num_rows, dtype=np.float64)
+        for i in range(batch.num_rows):
+            raw = pixels[i]
+            w, h = int(widths[i]), int(heights[i])
+            if raw is None or len(raw) != w * h:
+                # skip-and-log semantics (exe_t.py:319-336): emit an
+                # empty OCR span rather than failing the partition
+                texts.append("")
+                confs[i] = 0.0
+                continue
+            img = (
+                np.frombuffer(raw, dtype=np.uint8)
+                .reshape(h, w)
+                .astype(np.float32)
+                / np.float32(255.0)
+            )
+            text, conf = self.recognizer.recognize(img)
+            texts.append(text)
+            confs[i] = conf
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "offset": batch.column("offset"),
+                "kind": pa.array(np.full(n, "ocr"), type=pa.string()),
+                "text": pa.array(texts, type=pa.string()),
+                "media_ref": batch.column("media_ref"),
+                "confidence": pa.array(confs),
+            }
+        )

@@ -1,0 +1,124 @@
+"""Partition-granular lineage checkpoints + resume.
+
+The reference's durable ideas — per-bucket best-state snapshots and
+periodic global saves (train.py:1121-1122,1201-1207) — become, for an
+extraction job, partition-granular atomic output plus a lineage record
+written LAST:
+
+    out_dir/part-00007.parquet          # the extracted spans
+    out_dir/_lineage/part-00007.json    # written after the data file
+
+On restart, completed partition ids are read from the lineage dir and
+their documents filtered out of the input BEFORE execution, so a
+resumed run re-processes only unfinished partitions and never
+duplicates output (SURVEY.md §4 checkpoint row). Writes are atomic
+(temp file + os.replace).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def partition_id(doc_id: str, n_parts: int) -> int:
+    """Stable partitioner (crc32, not Python's salted hash)."""
+    return zlib.crc32(doc_id.encode()) % n_parts
+
+
+def partition_ids(doc_ids: list[str], n_parts: int) -> np.ndarray:
+    return np.array(
+        [zlib.crc32(d.encode()) % n_parts for d in doc_ids], dtype=np.int32
+    )
+
+
+def completed_partitions(out_dir: str) -> set[int]:
+    lin = os.path.join(out_dir, "_lineage")
+    if not os.path.isdir(lin):
+        return set()
+    done = set()
+    for f in os.listdir(lin):
+        if f.startswith("part-") and f.endswith(".json"):
+            with open(os.path.join(lin, f)) as fh:
+                rec = json.load(fh)
+            if rec.get("status") == "done":
+                done.add(int(rec["partition_id"]))
+    return done
+
+
+def read_lineage(out_dir: str) -> pd.DataFrame:
+    lin = os.path.join(out_dir, "_lineage")
+    rows = []
+    if os.path.isdir(lin):
+        for f in sorted(os.listdir(lin)):
+            if f.endswith(".json"):
+                with open(os.path.join(lin, f)) as fh:
+                    rows.append(json.load(fh))
+    return pd.DataFrame(rows)
+
+
+class PartitionWriter:
+    """map_groups fn over part_id groups: assemble docs, write the
+    partition file atomically, then the lineage record; returns the
+    lineage row as the group result."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.__name__ = "PartitionWriter"  # map_groups wants a fn-like name
+        os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.monotonic()
+        pid = int(g["part_id"].iloc[0])
+        g = g.sort_values(["doc_id", "offset"])
+        doc_ids: list[str] = []
+        span_lists: list[list[dict]] = []
+        confs: list[float] = []
+        for doc_id, dg in g.groupby("doc_id", sort=True):
+            doc_ids.append(doc_id)
+            span_lists.append(
+                [
+                    {"kind": k, "text": t, "media_ref": m, "offset": int(o)}
+                    for k, t, m, o in zip(
+                        dg["kind"], dg["text"], dg["media_ref"], dg["offset"]
+                    )
+                ]
+            )
+            confs.append(float(dg["confidence"].mean()))
+        table = pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.string()),
+                "spans": span_lists,
+                "mean_confidence": pa.array(confs, type=pa.float64()),
+            }
+        )
+        n_docs = len(doc_ids)
+        final = os.path.join(self.out_dir, f"part-{pid:05d}.parquet")
+        tmp = final + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, final)  # atomic
+        wall_ms = (time.monotonic() - t0) * 1000.0
+        n_spans = int(len(g))
+        rec = {
+            "partition_id": pid,
+            "n_docs": n_docs,
+            "n_spans": n_spans,
+            "n_media": int((g["kind"] == "ocr").sum()),
+            "wall_ms": wall_ms,
+            "spans_per_sec": n_spans / max(wall_ms / 1000.0, 1e-9),
+            "mean_confidence": float(g["confidence"].mean()),
+            "status": "done",
+        }
+        lin_final = os.path.join(self.out_dir, "_lineage", f"part-{pid:05d}.json")
+        lin_tmp = lin_final + ".tmp"
+        with open(lin_tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(lin_tmp, lin_final)  # written last: data-then-lineage
+        return pd.DataFrame([rec])

@@ -1,0 +1,75 @@
+import pyarrow as pa
+import ray.data as rd
+
+from greenocr_ray.fixtures.gen import make_corpus
+from greenocr_ray.pipelines.extract import ExtractOptions, extract_dataset
+from greenocr_ray.stages.explode import explode_spans
+
+
+def spans_key(spans):
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+
+
+def test_explode_spans_vectorized():
+    docs, _, _ = make_corpus(n_docs=5, seed=3)
+    flat = explode_spans(docs)
+    assert flat.column_names == ["doc_id", "offset", "kind", "text", "media_ref"]
+    assert flat.num_rows == sum(len(s) for s in docs.column("spans").to_pylist())
+    # offsets are dense 0..n-1 per doc
+    import collections
+
+    per_doc = collections.defaultdict(list)
+    for d, o in zip(
+        flat.column("doc_id").to_pylist(), flat.column("offset").to_pylist()
+    ):
+        per_doc[d].append(o)
+    for offs in per_doc.values():
+        assert offs == list(range(len(offs)))
+
+
+def test_end_to_end_span_sequence_equality():
+    """The correctness gate: exact span-sequence equality on
+    (kind, text, media_ref, order) against the golden table."""
+    docs, media, expected = make_corpus(n_docs=25, seed=21)
+    out = extract_dataset(
+        rd.from_arrow(docs),
+        rd.from_arrow(media),
+        ExtractOptions(ocr_concurrency=(1, 3), join_partitions=4),
+    )
+    res = out.to_pandas().set_index("doc_id")
+    exp = expected.to_pandas().set_index("doc_id")
+    assert sorted(res.index) == sorted(exp.index)
+    for doc_id in exp.index:
+        assert spans_key(res.loc[doc_id, "spans"]) == spans_key(
+            exp.loc[doc_id, "spans"]
+        ), doc_id
+    # confidence metric present and sane
+    assert (res["mean_confidence"] > 0.3).all()
+
+
+def test_extract_handles_missing_payload():
+    """Inner-join drop semantics: a media span without a payload row is
+    skipped (skip-and-continue, exe_t.py:319-336), other spans survive."""
+    docs = pa.table(
+        {
+            "doc_id": ["d0"],
+            "spans": [
+                [
+                    {"kind": "text", "text": " hi  there ", "media_ref": "", "offset": 0},
+                    {"kind": "media", "text": "", "media_ref": "missing", "offset": 1},
+                ]
+            ],
+        }
+    )
+    media = pa.table(
+        {
+            "media_ref": pa.array([], type=pa.string()),
+            "width": pa.array([], type=pa.int32()),
+            "height": pa.array([], type=pa.int32()),
+            "pixels": pa.array([], type=pa.binary()),
+            "true_text": pa.array([], type=pa.string()),
+        }
+    )
+    out = extract_dataset(rd.from_arrow(docs), rd.from_arrow(media)).to_pandas()
+    assert len(out) == 1
+    assert spans_key(out["spans"][0]) == [("text", "hi there", "", 0)]

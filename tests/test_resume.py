@@ -1,0 +1,80 @@
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+
+from greenocr_ray.fixtures.gen import write_corpus
+from greenocr_ray.pipelines.extract import ExtractOptions, run_extraction
+from greenocr_ray.state.lineage import completed_partitions, read_lineage
+
+
+def _read_all_parts(out_dir):
+    rows = {}
+    for f in sorted(os.listdir(out_dir)):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(out_dir, f))
+            for i in range(t.num_rows):
+                rows[t.column("doc_id")[i].as_py()] = [
+                    (s["kind"], s["text"], s["media_ref"], s["offset"])
+                    for s in t.column("spans")[i].as_py()
+                ]
+    return rows
+
+
+def test_checkpoint_resume_no_duplicates(tmp_path):
+    data_dir = str(tmp_path / "data")
+    paths = write_corpus(data_dir, n_docs=20, seed=31)
+    opts = ExtractOptions(n_parts=4, join_partitions=2, ocr_concurrency=(1, 2))
+
+    out_a = str(tmp_path / "run_a")
+    lin_a = run_extraction(paths["documents"], paths["media"], out_a, opts)
+    assert sorted(lin_a["partition_id"]) == [0, 1, 2, 3]
+    assert (lin_a["status"] == "done").all()
+    golden = _read_all_parts(out_a)
+    assert len(golden) == 20
+
+    # simulate a crash after 2 partitions: copy output, delete 2
+    # partitions' data+lineage
+    out_b = str(tmp_path / "run_b")
+    shutil.copytree(out_a, out_b)
+    for pid in (1, 3):
+        os.remove(os.path.join(out_b, f"part-{pid:05d}.parquet"))
+        os.remove(os.path.join(out_b, "_lineage", f"part-{pid:05d}.json"))
+    assert completed_partitions(out_b) == {0, 2}
+
+    lin_b = run_extraction(paths["documents"], paths["media"], out_b, opts)
+    # only the missing partitions were re-processed
+    assert sorted(lin_b["partition_id"]) == [1, 3]
+    # final output identical to the uninterrupted run, no duplicates
+    resumed = _read_all_parts(out_b)
+    assert resumed == golden
+    assert completed_partitions(out_b) == {0, 1, 2, 3}
+    lineage = read_lineage(out_b)
+    assert len(lineage) == 4
+    assert lineage["n_docs"].sum() == 20
+
+
+def test_lineage_record_fields(tmp_path):
+    data_dir = str(tmp_path / "data")
+    paths = write_corpus(data_dir, n_docs=6, seed=32)
+    out = str(tmp_path / "out")
+    run_extraction(
+        paths["documents"],
+        paths["media"],
+        out,
+        ExtractOptions(n_parts=2, join_partitions=2, ocr_concurrency=(1, 2)),
+    )
+    with open(os.path.join(out, "_lineage", "part-00000.json")) as fh:
+        rec = json.load(fh)
+    for field in (
+        "partition_id",
+        "n_docs",
+        "n_spans",
+        "n_media",
+        "wall_ms",
+        "spans_per_sec",
+        "mean_confidence",
+        "status",
+    ):
+        assert field in rec
