@@ -1,44 +1,366 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship interleaved-extraction pipeline over a
+corpus derived deterministically from ``/root/testdata/sf0.001``.
+``queries()`` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2 + the training-data-pipeline additions); each matching
+``oracle_sql()`` entry is the DuckDB-equivalent ANSI SQL. Non-SQL-
+expressible operators (OCR extraction, MinHash LSH, SimHash, LSH-ANN,
+langid, fingerprinting) have no oracle entry → rows-only check.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() anywhere in the library.
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow.parquet as pq
+
+
+def _interleaved(sf_dir: str, max_docs: int | None = None) -> dict[str, str]:
+    from greenocr_ray.pipelines.interleave import build_interleaved
+
+    tag = hashlib.md5(f"{sf_dir}|{max_docs}".encode()).hexdigest()[:10]
+    return build_interleaved(sf_dir, f"/tmp/greenocr_interleaved/{tag}", max_docs)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: derive interleaved docs from sf0.001, extract spans."""
+    import ray.data as rd
+
+    from greenocr_ray.pipelines.extract import ExtractOptions, extract_dataset
+
+    paths = _interleaved("/root/testdata/sf0.001", max_docs=120)
+    docs = rd.read_parquet(paths["documents"], columns=["doc_id", "spans"])
+    media = rd.read_parquet(paths["media"])
+    return extract_dataset(docs, media, ExtractOptions(ocr_concurrency=(1, 8)))
+
+
+# --------------------------------------------------------------- queries
+
+
+def _q_extract_spans(sf_dir: str) -> Any:
+    """Flagship extraction; returns flat span rows (rows-only check)."""
+    import ray.data as rd
+
+    from greenocr_ray.pipelines.extract import ExtractOptions, extract_flat
+
+    paths = _interleaved(sf_dir, max_docs=200)
+    docs = rd.read_parquet(paths["documents"], columns=["doc_id", "spans"])
+    media = rd.read_parquet(paths["media"])
+    out = extract_flat(
+        docs, media, ExtractOptions(ocr_concurrency=(1, 8))
+    ).to_pandas()
+    return out.sort_values(["doc_id", "offset"]).reset_index(drop=True)
+
+
+def _q_extract_verify(sf_dir: str) -> Any:
+    """Self-verifying extraction: compares extracted spans against the
+    derivation's expected spans; returns per-doc match flags."""
+    import pandas as pd
+    import ray.data as rd
+
+    from greenocr_ray.pipelines.extract import ExtractOptions, extract_dataset
+
+    paths = _interleaved(sf_dir, max_docs=200)
+    docs = rd.read_parquet(paths["documents"], columns=["doc_id", "spans"])
+    media = rd.read_parquet(paths["media"])
+    res = extract_dataset(
+        docs, media, ExtractOptions(ocr_concurrency=(1, 8))
+    ).to_pandas().set_index("doc_id")
+    exp = pq.read_table(
+        paths["documents"], columns=["doc_id", "expected_spans"]
+    ).to_pandas().set_index("doc_id")
+    rows = []
+    for doc_id in exp.index:
+        want = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in exp.loc[doc_id, "expected_spans"]
+        ]
+        got = (
+            [
+                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in res.loc[doc_id, "spans"]
+            ]
+            if doc_id in res.index
+            else []
+        )
+        rows.append({"doc_id": doc_id, "spans_match": got == want})
+    return pd.DataFrame(rows)
+
+
+def _q_token_counts(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.textstats import token_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        ds.map_batches(token_stats, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_quality(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.textstats import quality_scores
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(quality_scores, batch_format="pandas").to_pandas()
+    return out.drop(columns=["stopword_ratio"]).sort_values("doc_id").reset_index(
+        drop=True
+    )
+
+
+def _q_langid(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.textstats import langid_accuracy
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return langid_accuracy(ds).to_pandas().sort_values("lang").reset_index(drop=True)
+
+
+def _q_fingerprints(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.textstats import fingerprint
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        ds.map_batches(fingerprint, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_dedup_exact(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.dedup import exact_dedup_groups
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        exact_dedup_groups(ds).to_pandas().sort_values("text_md5").reset_index(drop=True)
+    )
+
+
+def _q_minhash_pairs(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.dedup import minhash_dedup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_dedup_pairs(ds, threshold=0.8)
+
+
+def _q_simhash(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.dedup import simhash_table
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = simhash_table(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out["simhash"] = out["simhash"].astype("uint64")
+    return out
+
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = t.column("vec_id").to_pylist().index(0)
+    return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float64)
+
+
+def _q_knn(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.similarity import knn_cosine
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return knn_cosine(ds, _query_vec(sf_dir), k=10, exclude={0})
+
+
+def _q_knn_lsh(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.similarity import knn_cosine_lsh
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return knn_cosine_lsh(ds, _query_vec(sf_dir), k=10, exclude={0})
+
+
+def _q_media_features(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.multimodal import ImageFeatureStage
+
+    paths = _interleaved(sf_dir, max_docs=100)
+    media = rd.read_parquet(paths["media"])
+    return (
+        media.map_batches(
+            ImageFeatureStage, batch_format="pyarrow", batch_size=32, concurrency=(1, 4)
+        )
+        .to_pandas()
+        .sort_values("media_ref")
+        .reset_index(drop=True)
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from greenocr_ray.functions import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship extraction (non-SQL: OCR + span assembly)
+        "extract_spans": _q_extract_spans,
+        "extract_verify": _q_extract_verify,
+        "media_features": _q_media_features,
+        # relational operator suite (oracle-checked)
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "top_orders": R.q_top_orders,
+        "filter_events": R.q_filter_events,
+        "segment_revenue": R.q_segment_revenue,
+        "region_customers": R.q_region_customers,
+        "supplier_nation": R.q_supplier_nation,
+        "lang_counts": R.q_lang_counts,
+        "part_brand_stats": R.q_part_brand_stats,
+        "events_hourly": R.q_events_hourly,
+        # text analysis
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality,
+        "langid_accuracy": _q_langid,
+        "fingerprints": _q_fingerprints,
+        # dedup
+        "dedup_exact": _q_dedup_exact,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        # similarity search
+        "knn_cosine": _q_knn,
+        "knn_cosine_lsh": _q_knn_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   COUNT(*) AS count_order,
+                   ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+                   ROUND(SUM(l_extendedprice) / COUNT(*), 6) AS avg_price,
+                   ROUND(SUM(l_discount) / COUNT(*), 6) AS avg_disc
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+            FROM orders ORDER BY o_totalprice DESC LIMIT 10
+        """,
+        "filter_events": """
+            SELECT event_id, event_type, ROUND(value, 6) AS value
+            FROM events WHERE event_type = 'click' AND value > 50.0
+            ORDER BY value DESC LIMIT 20
+        """,
+        "segment_revenue": """
+            SELECT c.c_mktsegment,
+                   ROUND(SUM(o.o_totalprice), 2) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+        """,
+        "region_customers": """
+            SELECT r.r_name,
+                   COUNT(*) AS n_customers,
+                   ROUND(SUM(c.c_acctbal), 2) AS sum_acctbal,
+                   ROUND(SUM(c.c_acctbal) / COUNT(*), 6) AS avg_acctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name ORDER BY r.r_name
+        """,
+        "supplier_nation": """
+            SELECT n.n_name,
+                   COUNT(*) AS n_suppliers,
+                   ROUND(SUM(s.s_acctbal), 2) AS total_acctbal
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name ORDER BY n.n_name
+        """,
+        "lang_counts": """
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   MIN(n_chars) AS min_chars,
+                   MAX(n_chars) AS max_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "part_brand_stats": """
+            SELECT p_brand,
+                   COUNT(*) AS n_parts,
+                   ROUND(SUM(p_retailprice), 2) AS sum_price,
+                   MAX(p_size) AS max_size,
+                   ROUND(SUM(p_retailprice) / COUNT(*), 6) AS avg_price
+            FROM part GROUP BY p_brand ORDER BY p_brand
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_bucket,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value,
+                   ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+            FROM events GROUP BY event_type, hour_bucket
+            ORDER BY event_type, hour_bucket
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "quality_scores": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   ROUND(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                         / GREATEST(length(text), 1), 6) AS punct_ratio,
+                   ROUND(CAST(length(text) - GREATEST(len(string_split(text, ' ')) - 1, 0) AS DOUBLE)
+                         / GREATEST(len(string_split(text, ' ')), 1), 6) AS mean_word_len
+            FROM documents ORDER BY doc_id
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5,
+                   MIN(doc_id) AS keeper,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY text ORDER BY text_md5
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                                (SELECT e FROM q)), 6) AS cos_sim
+            FROM embeddings WHERE vec_id <> 0
+            ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            (SELECT e FROM q)) DESC
+            LIMIT 10
+        """,
+    }

@@ -1,0 +1,280 @@
+"""Deduplication operators for large text corpora.
+
+- exact:      content-hash -> groupby(hash) -> keep min doc_id
+- minhash:    shingle -> minhash -> LSH bands -> bucket groupby ->
+              candidate pairs -> Jaccard verify
+- simhash:    64-bit simhash per doc; near-dups = small Hamming distance
+              within LSH-style prefix buckets
+- ngram_jaccard: verified Jaccard similarity on candidate pairs
+
+Scale shape: all candidate generation is map_batches + ONE groupby on a
+bucket key (bands/prefixes); pairwise work happens only inside small
+groups, never all-pairs. Hashes are seeded/stable (no Python hash()).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+_TOKEN_RE = re.compile(r"\w+")
+
+# ---------------------------------------------------------------- exact
+
+
+def add_content_hash(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    hashes = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+    return batch.append_column("text_md5", pa.array(hashes, type=pa.string()))
+
+
+def exact_dedup_groups(docs: rd.Dataset) -> rd.Dataset:
+    """-> (text_md5, keeper, n_copies): one row per distinct text, the
+    kept doc is the min doc_id (G7 take-first semantics)."""
+    hashed = docs.map_batches(add_content_hash, batch_format="pyarrow")
+
+    # pre-aggregate per batch, then a small groupby over partials
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.select(["text_md5", "doc_id"]).to_pandas()
+        g = df.groupby("text_md5", sort=False)["doc_id"].agg(["min", "size"])
+        return g.rename(columns={"min": "keeper", "size": "n_copies"}).reset_index()
+
+    parts = hashed.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Min, Sum
+
+    return parts.groupby("text_md5").aggregate(
+        Min("keeper", alias_name="keeper"), Sum("n_copies", alias_name="n_copies")
+    )
+
+
+def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
+    """Dataset with duplicate-text rows dropped (keep min doc_id)."""
+    groups = exact_dedup_groups(docs)
+    keep = set(groups.to_pandas()["keeper"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return t.filter(pa.array([i in keep for i in ids]))
+
+    return docs.map_batches(filt, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------- minhash
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+class MinHasher:
+    """Stateful shingler+minhasher: permutation coefficients are built
+    once per actor (the stateful-stage pattern)."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 1337):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.k = shingle_k
+
+    def shingles(self, text: str) -> np.ndarray:
+        toks = _TOKEN_RE.findall(text.lower())
+        if len(toks) < self.k:
+            toks = toks + [""] * (self.k - len(toks))
+        sh = {
+            zlib.crc32(" ".join(toks[i : i + self.k]).encode())
+            for i in range(len(toks) - self.k + 1)
+        }
+        return np.fromiter(sh, dtype=np.uint64, count=len(sh))
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = self.shingles(text)
+        if len(sh) == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        # (a*x + b) mod p for each permutation; min over shingles
+        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sigs = np.stack([self.signature(t) for t in texts])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "signature": [row.tobytes() for row in sigs],
+            }
+        )
+
+
+def _band_rows(batch: pa.Table, num_perm: int, bands: int) -> pa.Table:
+    """signature -> one row per (band_id, band_hash) — the LSH explode."""
+    rows_per_band = num_perm // bands
+    doc_ids = batch.column("doc_id").to_pylist()
+    sigs = batch.column("signature").to_pylist()
+    out_doc, out_band, out_hash = [], [], []
+    for d, s in zip(doc_ids, sigs):
+        sig = np.frombuffer(s, dtype=np.uint64)
+        for b in range(bands):
+            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            out_doc.append(d)
+            out_band.append(b)
+            out_hash.append(zlib.crc32(chunk.tobytes()))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, type=pa.int64()),
+            "band_id": pa.array(out_band, type=pa.int32()),
+            "band_hash": pa.array(out_hash, type=pa.int64()),
+        }
+    )
+
+
+def jaccard(a: str, b: str, k: int = 3) -> float:
+    mh = MinHasher(shingle_k=k)
+    sa, sb = set(mh.shingles(a).tolist()), set(mh.shingles(b).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(len(sa | sb), 1)
+
+
+def minhash_candidate_pairs(
+    docs: rd.Dataset, num_perm: int = 64, bands: int = 16
+) -> rd.Dataset:
+    """LSH candidate pairs -> (doc_a, doc_b) distinct, doc_a < doc_b."""
+    sigs = docs.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    banded = sigs.map_batches(
+        lambda t: _band_rows(t, num_perm, bands), batch_format="pyarrow"
+    )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        if not out:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame(out, columns=["doc_a", "doc_b"])
+
+    cand = banded.groupby(["band_id", "band_hash"]).map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
+    # distinct pairs (a pair can fire in several bands)
+    from ray.data.aggregate import Count
+
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+
+
+def minhash_dedup_pairs(
+    docs: rd.Dataset,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> pd.DataFrame:
+    """Verified near-duplicate pairs: LSH candidates + exact Jaccard
+    verify (texts fetched via a broadcast of only the candidate docs —
+    the candidate set is << corpus)."""
+    cand = minhash_candidate_pairs(docs, num_perm, bands).to_pandas()
+    if len(cand) == 0:
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64"),
+             "jaccard_sim": pd.Series([], dtype="float64")}
+        )
+    needed = set(cand["doc_a"]) | set(cand["doc_b"])
+
+    def grab(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return t.select(["doc_id", "text"]).filter(
+            pa.array([i in needed for i in ids])
+        )
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.map_batches(grab, batch_format="pyarrow").take_all()
+    }
+    sims = [
+        jaccard(texts[a], texts[b]) for a, b in zip(cand["doc_a"], cand["doc_b"])
+    ]
+    cand = cand.assign(jaccard_sim=np.round(sims, 6))
+    out = cand[cand["jaccard_sim"] >= threshold][
+        ["doc_a", "doc_b", "jaccard_sim"]
+    ]
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# -------------------------------------------------------------- simhash
+
+
+class SimHasher:
+    """64-bit simhash over token crc32 features (stateful: none needed,
+    but kept class-shaped for actor-pool symmetry)."""
+
+    def __init__(self):
+        self.bits = 64
+
+    def simhash(self, text: str) -> int:
+        toks = _TOKEN_RE.findall(text.lower())
+        if not toks:
+            return 0
+        acc = np.zeros(self.bits, dtype=np.int64)
+        for t in toks:
+            h = zlib.crc32(t.encode()) | (zlib.crc32(t[::-1].encode()) << 32)
+            for bit in range(self.bits):
+                acc[bit] += 1 if (h >> bit) & 1 else -1
+        out = 0
+        for bit in range(self.bits):
+            if acc[bit] > 0:
+                out |= 1 << bit
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        hashes = np.array([self.simhash(t) for t in texts], dtype=np.uint64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "simhash": pa.array(hashes),
+                # 16-bit prefix bucket for near-dup candidate grouping
+                "bucket": pa.array((hashes >> np.uint64(48)).astype(np.int32)),
+            }
+        )
+
+
+def simhash_table(docs: rd.Dataset) -> rd.Dataset:
+    return docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=2)
+
+
+def simhash_near_dups(docs: rd.Dataset, max_hamming: int = 3) -> pd.DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, candidates
+    limited to shared 16-bit prefix buckets."""
+    tbl = simhash_table(docs)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        ids = g["doc_id"].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
+                if d <= max_hamming:
+                    a, b = sorted((int(ids[i]), int(ids[j])))
+                    rows.append((a, b, d))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]) if rows else \
+            pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                          "doc_b": pd.Series([], dtype="int64"),
+                          "hamming": pd.Series([], dtype="int64")})
+
+    return (
+        tbl.groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )

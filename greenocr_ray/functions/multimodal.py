@@ -1,0 +1,109 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` payload columns with typed metadata
+(width/height/format), processed by actor-pool ``map_batches`` stages.
+The Ray-side plumbing — schema, batching, actor signatures, output
+layout — is real and tested; codec-dependent decodes (PNG/JPEG/audio/
+video) are STUBBED behind ``NotImplementedError`` because the codec
+libraries are not in this container. The raw-raster path (the format
+the engine's media tables actually use) is fully implemented.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import kernels
+
+RAW_FORMAT = "raw-gray-u8"  # row-major uint8 grayscale, len == w*h
+
+
+def decode_raster(raw: bytes, width: int, height: int, fmt: str = RAW_FORMAT) -> np.ndarray:
+    """binary payload -> HxW float32 [0,1]."""
+    if fmt == RAW_FORMAT:
+        return (
+            np.frombuffer(raw, dtype=np.uint8)
+            .reshape(height, width)
+            .astype(np.float32)
+            / np.float32(255.0)
+        )
+    if fmt in ("png", "jpeg"):
+        raise NotImplementedError(
+            f"{fmt} decode requires an image codec library not present in "
+            "this environment; payloads must be pre-decoded to raw-gray-u8"
+        )
+    raise ValueError(f"unknown media format {fmt!r}")
+
+
+def sample_video_frames(raw: bytes, every_n: int = 30):
+    raise NotImplementedError(
+        "video frame sampling requires a codec library not present in this "
+        "environment"
+    )
+
+
+def extract_audio_features(raw: bytes, sample_rate: int = 16000):
+    raise NotImplementedError(
+        "audio decode requires a codec library not present in this environment"
+    )
+
+
+class ImageResizeStage:
+    """Actor-pool stage: resize payload rasters to a fixed height,
+    preserving aspect (the reference's h=64 normalization,
+    exe_t.py:211-219,505). Emits a new payload column + updated dims."""
+
+    def __init__(self, target_h: int = 64):
+        self.target_h = target_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths = batch.column("width").to_numpy()
+        heights = batch.column("height").to_numpy()
+        payloads = batch.column("pixels").to_pylist()
+        out_px, out_w, out_h = [], [], []
+        for raw, w, h in zip(payloads, widths, heights):
+            img = decode_raster(raw, int(w), int(h))
+            resized = kernels.resize_keep_aspect(img, self.target_h)
+            u8 = np.clip(np.round(resized * 255.0), 0, 255).astype(np.uint8)
+            out_px.append(u8.tobytes())
+            out_h.append(u8.shape[0])
+            out_w.append(u8.shape[1])
+        return pa.table(
+            {
+                "media_ref": batch.column("media_ref"),
+                "width": pa.array(out_w, type=pa.int32()),
+                "height": pa.array(out_h, type=pa.int32()),
+                "pixels": pa.array(out_px, type=pa.binary()),
+            }
+        )
+
+
+class ImageFeatureStage:
+    """Actor-pool stage: cheap deterministic image features per payload
+    (ink density, contrast span, edge energy via the Laplacian kernel —
+    the P7 stroke-confidence feature, train.py:629-632)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths = batch.column("width").to_numpy()
+        heights = batch.column("height").to_numpy()
+        payloads = batch.column("pixels").to_pylist()
+        n = batch.num_rows
+        density = np.zeros(n)
+        contrast = np.zeros(n)
+        edge = np.zeros(n)
+        for i, (raw, w, h) in enumerate(zip(payloads, widths, heights)):
+            img = decode_raster(raw, int(w), int(h))
+            mask = kernels.binarize(img, "otsu")
+            density[i] = float(mask.mean())
+            p1, p99 = np.percentile(img, [1, 99])
+            contrast[i] = float(p99 - p1)
+            edge[i] = float(kernels.laplacian(img).mean())
+        return pa.table(
+            {
+                "media_ref": batch.column("media_ref"),
+                "ink_density": pa.array(np.round(density, 6)),
+                "contrast_span": pa.array(np.round(contrast, 6)),
+                "edge_energy": pa.array(np.round(edge, 6)),
+            }
+        )

@@ -1,0 +1,161 @@
+"""Text-analysis operators over the generic ``documents`` table
+(doc_id:int64, text, lang, source, n_chars) — the large-scale
+training-data-pipeline toolbox: token counting, quality scoring,
+language ID, document fingerprinting.
+
+All are stateless vectorized ``map_batches`` transforms except
+language-ID, which holds compiled profiles (actor-pool class).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+_WS_RE = re.compile(r" +")
+# BPE-ish tokenizer: word pieces, numbers, or single non-space symbols
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+_PUNCT_RE = re.compile(r"[^\w\s]")
+
+STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be for on with as at by it".split()
+)
+
+
+def token_stats(batch: pa.Table) -> pa.Table:
+    """Whitespace tokens + BPE-ish tokens per doc (vectorized-ish: two
+    compiled-regex passes per doc, no model)."""
+    texts = batch.column("text").to_pylist()
+    n_ws = [len(_WS_RE.split(t)) if t else 0 for t in texts]
+    n_bpe = [len(_BPE_RE.findall(t)) for t in texts]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_ws, type=pa.int64()),
+            "n_bpe_tokens": pa.array(n_bpe, type=pa.int64()),
+        }
+    )
+
+
+def quality_scores(batch: pd.DataFrame) -> pd.DataFrame:
+    """Length / punctuation / stopword quality heuristics per doc."""
+    text = batch["text"].fillna("")
+    n_chars = text.str.len().astype("int64")
+    words = text.str.split(" ")
+    n_words = words.str.len().fillna(0).astype("int64")
+    n_punct = text.str.count(_PUNCT_RE.pattern).astype("int64")
+    stop = words.map(lambda ws: sum(1 for w in ws if w in STOPWORDS))
+    out = pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": n_chars,
+            "n_words": n_words,
+            "punct_ratio": (n_punct / n_chars.clip(lower=1)).round(6),
+            "stopword_ratio": (stop / n_words.clip(lower=1)).round(6),
+            "mean_word_len": (
+                (n_chars - (n_words - 1).clip(lower=0)) / n_words.clip(lower=1)
+            ).round(6),
+        }
+    )
+    return out
+
+
+class LangId:
+    """Character-n-gram language identifier (actor-pool stage).
+
+    Profiles are built ONCE per actor in ``__init__`` from small
+    hand-rolled trigram seed sets — the stateful-stage pattern
+    (model-in-actor, SURVEY.md §2.3 M1).
+    """
+
+    PROFILES = {
+        "en": ["the", "and", "ing", " th", "he ", "ion", " of"],
+        "de": ["der", "ein", "sch", "ich", "und", " de", "en "],
+        "fr": ["les", "ent", " de", "ion", "que", " le", "des"],
+        "es": [" de", "los", "ent", "cio", " la", "que", "ado"],
+        "zh": [],  # CJK detected by codepoint range
+    }
+
+    def __init__(self):
+        self.trigrams = {
+            lang: frozenset(t) for lang, t in self.PROFILES.items() if t
+        }
+        self.cjk = re.compile(r"[一-鿿]")
+
+    def classify(self, text: str) -> str:
+        if self.cjk.search(text):
+            return "zh"
+        t = text.lower()
+        grams = {t[i : i + 3] for i in range(max(len(t) - 2, 0))}
+        best, best_n = "en", -1
+        for lang, prof in self.trigrams.items():
+            n = len(grams & prof)
+            if n > best_n:
+                best, best_n = lang, n
+        return best
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["pred_lang"] = [self.classify(t) for t in batch["text"]]
+        return batch
+
+
+def fingerprint(batch: pa.Table, k: int = 8, window: int = 4) -> pa.Table:
+    """Winnowing document fingerprint: rolling hash over k-grams, keep
+    the min hash per sliding window (standard winnowing scheme);
+    returns per-doc fingerprint count + a 64-bit digest."""
+    texts = batch.column("text").to_pylist()
+    counts = np.zeros(len(texts), dtype=np.int64)
+    digests = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        if len(t) < k:
+            continue
+        data = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
+        n = len(data) - k + 1
+        if n <= 0:
+            continue
+        # vectorized polynomial rolling hash over all k-grams
+        h = np.zeros(n, dtype=np.uint64)
+        B = np.uint64(1000003)
+        for j in range(k):
+            h = h * B + data[j : j + n].astype(np.uint64)
+        if len(h) >= window:
+            m = len(h) - window + 1
+            idx = np.arange(window)[None, :] + np.arange(m)[:, None]
+            mins = h[idx].min(axis=1)
+            fps = np.unique(mins)
+        else:
+            fps = np.unique(h)
+        counts[i] = len(fps)
+        digests[i] = np.bitwise_xor.reduce(fps) if len(fps) else np.uint64(0)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_fingerprints": pa.array(counts),
+            "digest": pa.array(digests),
+        }
+    )
+
+
+def langid_accuracy(docs: rd.Dataset) -> rd.Dataset:
+    """Accuracy of the n-gram langid vs the table's lang labels —
+    per-lang aggregate (partial counts in map_batches, tiny groupby)."""
+    scored = docs.map_batches(LangId, batch_format="pandas", concurrency=2)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(correct=(df["pred_lang"] == df["lang"]).astype("int64"))
+        g = df.groupby("lang", sort=True).agg(
+            n=("doc_id", "size"), n_correct=("correct", "sum")
+        )
+        return g.reset_index()
+
+    parts = scored.map_batches(partial, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    return parts.groupby("lang").aggregate(
+        Sum("n", alias_name="n_docs"), Sum("n_correct", alias_name="n_correct")
+    )
