@@ -1,0 +1,145 @@
+"""Benchmark harness.
+
+Plain run: one Ray session at ``num_cpus=$RAY_GRAFT_CPUS`` (default 32)
+over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1); prints ONE JSON
+line: {"metric", "value" (headline extraction seconds), "unit",
+"queries" (per-query seconds), "sf", "num_cpus", "docs_per_sec", ...}.
+
+``--scaling``: runs the plain bench twice in fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input (the sandbox stand-in for
+the N / 4N node clusters of the north rule) and prints throughput at
+both plus scaling efficiency = (t_8 / t_32) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def scaling_main() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "docs_per_sec_8": r_lo["docs_per_sec"],
+                "docs_per_sec_32": r_hi["docs_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "n_docs": r_hi["n_docs"],
+                "sf": r_hi["sf"],
+            }
+        )
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import hashlib
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from greenocr_ray.pipelines.extract import ExtractOptions, run_extraction
+    from greenocr_ray.pipelines.interleave import build_interleaved
+
+    # ---- untimed prep: derive the interleaved corpus (cached in /tmp)
+    tag = hashlib.md5(f"{sf_dir}|bench".encode()).hexdigest()[:10]
+    corpus_dir = f"/tmp/greenocr_bench/{tag}"
+    paths = build_interleaved(sf_dir, corpus_dir)
+    n_docs = pq.read_table(paths["documents"], columns=["doc_id"]).num_rows
+    # warm the page cache so the timed run measures compute + shuffle
+    rd.read_parquet(paths["media"]).count()
+
+    # ---- headline: flagship extraction, checkpointed write
+    out_dir = f"/tmp/greenocr_bench/out_{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    opts = ExtractOptions(
+        n_parts=max(num_cpus, 16),
+        join_partitions=max(num_cpus, 16),
+        ocr_concurrency=(1, num_cpus),
+    )
+    t0 = time.monotonic()
+    lineage = run_extraction(paths["documents"], paths["media"], out_dir, opts)
+    headline = time.monotonic() - t0
+    assert int(lineage["n_docs"].sum()) == n_docs, "bench output lost docs"
+
+    # ---- per-query timings over the raw testdata tables
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    for name in (
+        "q1_pricing_summary",
+        "events_hourly",
+        "segment_revenue",
+        "token_counts",
+        "quality_scores",
+        "dedup_exact",
+        "minhash_pairs",
+        "simhash",
+        "knn_cosine",
+        "fingerprints",
+    ):
+        t0 = time.monotonic()
+        qs[name](sf_dir)
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    result = {
+        "metric": "interleaved text+media extraction wall time (docs/sec in docs_per_sec)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_docs": int(n_docs),
+        "docs_per_sec": round(n_docs / headline, 2),
+        "n_media": int(lineage["n_media"].sum()),
+        "mean_confidence": round(float(lineage["mean_confidence"].mean()), 4),
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling_main()
+    else:
+        main()
