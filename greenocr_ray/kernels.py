@@ -312,27 +312,43 @@ def estimate_skew(
     coarse_step: float = 0.5,
     fine_step: float = 0.1,
 ) -> float:
-    """Projection-profile skew estimate.
+    """Projection-profile skew estimate (shear approximation).
 
     Maximizes the variance of the row-ink projection over candidate
     angles (coarse grid then fine refinement) — the deterministic
     stand-in for Hough-line deskew; recovers the reference's ±2.5°
     affine rotations (train.py:461-466).
+
+    For the small angles involved (<= ~4°) the rotation is scored as a
+    vertical SHEAR: column x shifts by round((x-cx)*tan θ). The shift
+    is monotonic in x, so columns group into contiguous equal-shift
+    runs; with a column-prefix-sum each run contributes an O(H) slice
+    add, making one candidate O(runs × H) instead of a full bilinear
+    rotation.
     """
     ink = 1.0 - img  # dark ink -> high values
     # downsample BOTH axes by the same step (column-only downsampling
     # would change the aspect ratio and hence the apparent skew angle)
     step = max(1, img.shape[1] // 800)
-    ink = ink[::step, ::step]
-    # pad vertically so over-rotation can't clip ink off the canvas and
-    # distort the objective
-    disp = int(np.ceil(np.tan(np.deg2rad(max_angle)) * ink.shape[1] / 2.0)) + 2
-    ink = np.pad(ink, ((disp, disp), (0, 0)))
+    ink = np.ascontiguousarray(ink[::step, ::step], dtype=np.float32)
+    h, w = ink.shape
+    disp = int(np.ceil(np.tan(np.deg2rad(max_angle)) * w / 2.0)) + 2
+    # column prefix sums: C[:, x] = sum of ink[:, :x]
+    csum = np.zeros((h, w + 1), dtype=np.float64)
+    np.cumsum(ink, axis=1, out=csum[:, 1:])
+    xs = np.arange(w, dtype=np.float64) - (w - 1) / 2.0
 
     def score(angle: float) -> float:
-        r = rotate(ink, angle, fill=0.0)
-        proj = r.sum(axis=1)
-        return float(np.var(proj))
+        shifts = np.rint(xs * np.tan(np.deg2rad(angle))).astype(np.int64)
+        acc = np.zeros(h + 2 * disp, dtype=np.float64)
+        # contiguous runs of equal shift
+        edges = np.nonzero(np.diff(shifts))[0] + 1
+        starts = np.concatenate(([0], edges))
+        ends = np.concatenate((edges, [w]))
+        for a, b in zip(starts, ends):
+            s = int(shifts[a]) + disp
+            acc[s : s + h] += csum[:, b] - csum[:, a]
+        return float(np.var(acc))
 
     best = 0.0
     best_s = score(0.0)
@@ -357,6 +373,8 @@ def estimate_skew(
 
 def deskew(img: np.ndarray, max_angle: float = 4.0) -> tuple[np.ndarray, float]:
     angle = estimate_skew(img, max_angle=max_angle)
+    if abs(angle) < 0.05:  # below interpolation noise: skip the resample
+        return img.astype(np.float32), 0.0
     # pad vertically before rotating back so end-of-line glyphs on wide
     # scans can't clip off the canvas (the rotated corners move by
     # ~ w/2 * tan(angle) vertically)
