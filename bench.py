@@ -94,7 +94,9 @@ def main() -> None:
     opts = ExtractOptions(
         n_parts=max(num_cpus, 16),
         join_partitions=max(num_cpus, 16),
-        ocr_concurrency=(1, num_cpus),
+        # pool floor skips autoscaling ramp-up; ceiling < num_cpus so
+        # the read/clean task pools feeding the actors never starve
+        ocr_concurrency=(min(8, num_cpus), num_cpus),
     )
     t0 = time.monotonic()
     lineage = run_extraction(paths["documents"], paths["media"], out_dir, opts)

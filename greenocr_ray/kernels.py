@@ -146,17 +146,16 @@ def clahe(
         fx = np.zeros(w, dtype=np.float32)
     iy2 = np.minimum(iy + 1, ty - 1)
     ix2 = np.minimum(ix + 1, tx - 1)
-    IY = iy[:, None]
-    IY2 = iy2[:, None]
-    IX = ix[None, :]
-    IX2 = ix2[None, :]
-    tl = luts[IY, IX, q]
-    tr = luts[IY, IX2, q]
-    bl = luts[IY2, IX, q]
-    br = luts[IY2, IX2, q]
-    FY = fy[:, None]
+    # blend along y at tile granularity first: a per-pixel-row LUT table
+    # (h, tx, nbins) costs h*tx*nbins flops and halves the number of
+    # full-image gathers below (2 instead of 4)
+    FYt = fy[:, None, None]
+    lut_rows = luts[iy] * (1 - FYt) + luts[iy2] * FYt
+    rows = np.arange(h)[:, None]
+    left = lut_rows[rows, ix[None, :], q]
+    right = lut_rows[rows, ix2[None, :], q]
     FX = fx[None, :]
-    out = (tl * (1 - FX) + tr * FX) * (1 - FY) + (bl * (1 - FX) + br * FX) * FY
+    out = left * (1 - FX) + right * FX
     return out.astype(np.float32)
 
 
@@ -306,6 +305,68 @@ def rotate(img: np.ndarray, angle_deg: float, fill: float = 1.0) -> np.ndarray:
     return out.astype(np.float32)
 
 
+def vshear(img: np.ndarray, angle_deg: float, fill: float = 1.0) -> np.ndarray:
+    """Vertical shear: column x shifts by tan(angle)*(x-cx), subpixel.
+
+    For the small angles of document skew (<= ~4°) this is the
+    cos θ ≈ 1 approximation of a true rotation — and it is exactly the
+    transform ``estimate_skew`` scores, so applying it as the
+    correction is self-consistent. Two gathers instead of the four a
+    bilinear rotation needs, no trig per pixel.
+    """
+    if abs(angle_deg) < 1e-9:
+        return img.astype(np.float32)
+    h, w = img.shape
+    im = img.astype(np.float32)
+    sh = np.tan(np.deg2rad(np.float64(angle_deg))) * (
+        np.arange(w, dtype=np.float64) - (w - 1) / 2.0
+    )
+    k = np.floor(sh).astype(np.int64)  # integer shift per column
+    g = (sh - k).astype(np.float32)  # sub-pixel residual in [0,1)
+    disp = int(max(abs(k.min()), abs(k.max()))) + 2
+    pad = np.full((h + 2 * disp, w), np.float32(fill), dtype=np.float32)
+    pad[disp : disp + h] = im
+    out = np.empty((h, w), dtype=np.float32)
+    # columns group into contiguous runs of equal integer shift (k is
+    # monotonic in x): per run, the shear is two row-offset slice reads
+    # blended by the per-column residual — no per-pixel gather
+    edges = np.nonzero(np.diff(k))[0] + 1
+    starts = np.concatenate(([0], edges))
+    ends = np.concatenate((edges, [w]))
+    for a, b in zip(starts, ends):
+        kk = int(k[a])
+        gg = g[a:b][None, :]
+        lo = pad[disp - kk - 1 : disp - kk - 1 + h, a:b]
+        hi_ = pad[disp - kk : disp - kk + h, a:b]
+        out[:, a:b] = lo * gg + hi_ * (np.float32(1.0) - gg)
+    return out
+
+
+def estimate_skew_centroid(ink: np.ndarray) -> float:
+    """Closed-form skew seed: weighted least-squares slope of the
+    column ink centroids. O(H*W), no candidate search. Columns with no
+    ink (word gaps) carry zero weight. Returns the CORRECTION angle
+    (same sign convention as ``estimate_skew``)."""
+    h, w = ink.shape
+    colsum = ink.sum(axis=0)
+    ymom = (np.arange(h, dtype=np.float64)[:, None] * ink).sum(axis=0)
+    wgt = colsum
+    total = wgt.sum()
+    if total <= 1e-9:
+        return 0.0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cy = np.where(colsum > 1e-9, ymom / np.maximum(colsum, 1e-9), 0.0)
+    x = np.arange(w, dtype=np.float64)
+    xm = (wgt * x).sum() / total
+    ym = (wgt * cy).sum() / total
+    dx = x - xm
+    denom = (wgt * dx * dx).sum()
+    if denom <= 1e-9:
+        return 0.0
+    slope = (wgt * dx * (cy - ym)).sum() / denom
+    return float(np.rad2deg(np.arctan(slope)))
+
+
 def estimate_skew(
     img: np.ndarray,
     max_angle: float = 4.0,
@@ -350,21 +411,25 @@ def estimate_skew(
             acc[s : s + h] += csum[:, b] - csum[:, a]
         return float(np.var(acc))
 
-    best = 0.0
-    best_s = score(0.0)
-    a = -max_angle
-    while a <= max_angle + 1e-9:
+    # closed-form centroid seed kills the coarse grid: one O(H*W) pass
+    # lands within ~0.2° of the optimum, then a short variance-max fine
+    # scan around it keeps the search's robustness to descender noise.
+    # (`estimate_skew_centroid` returns the skew; the aligning shear is
+    # its negation, which is the domain `score` works in.)
+    seed = float(np.clip(-estimate_skew_centroid(ink), -max_angle, max_angle))
+    seed = round(seed / fine_step) * fine_step
+    best = seed
+    best_s = score(seed)
+    span = 3  # ±3 fine steps around the seed
+    for k in range(-span, span + 1):
+        if k == 0:
+            continue
+        a = seed + k * fine_step
+        if abs(a) > max_angle + 1e-9:
+            continue
         s = score(a)
         if s > best_s:
             best_s, best = s, a
-        a += coarse_step
-    lo, hi = best - coarse_step, best + coarse_step
-    a = lo
-    while a <= hi + 1e-9:
-        s = score(a)
-        if s > best_s:
-            best_s, best = s, a
-        a += fine_step
     # `best` is the rotation that ALIGNS the ink (the correction); the
     # skew of the input is its negation: rotate(img, -estimate_skew(img))
     # deskews.
@@ -380,7 +445,9 @@ def deskew(img: np.ndarray, max_angle: float = 4.0) -> tuple[np.ndarray, float]:
     # ~ w/2 * tan(angle) vertically)
     disp = int(np.ceil(np.tan(np.deg2rad(abs(angle) + 0.2)) * img.shape[1] / 2.0)) + 2
     padded = np.pad(img, ((disp, disp), (0, 0)), constant_values=np.float32(1.0))
-    return rotate(padded, -angle, fill=1.0), angle
+    # small-angle correction: vertical shear = the transform the
+    # estimator scored; 2x cheaper than a full bilinear rotation
+    return vshear(padded, -angle, fill=1.0), angle
 
 
 # ------------------------------------------------------------ segmentation

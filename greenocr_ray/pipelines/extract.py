@@ -30,9 +30,14 @@ import ray.data as rd
 from ..sources.storage import read_table
 from ..stages.clean_text import clean_text_spans
 from ..stages.explode import assemble_group, explode_spans
-from ..stages.join import join_media_payloads
-from ..stages.ocr import OCR_BATCH_SIZE, OcrActor
-from ..state.lineage import PartitionWriter, completed_partitions, partition_ids
+from ..stages.join import join_ocr_results
+from ..stages.ocr import OCR_BATCH_SIZE, OcrMediaActor
+from ..state.lineage import (
+    PartitionWriter,
+    completed_partitions,
+    empty_lineage,
+    partition_ids,
+)
 
 
 @dataclass
@@ -69,18 +74,23 @@ def extract_flat(
     documents: rd.Dataset, media: rd.Dataset, opts: ExtractOptions | None = None
 ) -> rd.Dataset:
     """Extraction up to flat output spans
-    (doc_id, offset, kind, text, media_ref, confidence) — no reassembly."""
+    (doc_id, offset, kind, text, media_ref, confidence) — no reassembly.
+
+    Shuffle layout (the scale-critical choice): pixels NEVER cross an
+    exchange. The OCR actor pool consumes the media table straight from
+    its read tasks and emits (media_ref, text, confidence); only that
+    narrow text table hash-joins back onto the span rows. The earlier
+    layout (join payloads onto spans, then OCR) shipped the full raster
+    volume through the join shuffle — ~450x more bytes at sf0.1 — and
+    was 4x slower end-to-end. A media_ref referenced by k spans is
+    recognized once, not k times.
+    """
     opts = opts or ExtractOptions()
     text_spans, media_spans = _split_branches(documents)
     cleaned = text_spans.map_batches(clean_text_spans, batch_format="pyarrow")
     payload_cols = ["media_ref", "width", "height", "pixels"]
-    joined = join_media_payloads(
-        media_spans,
-        media.select_columns(payload_cols),  # never ship true_text
-        num_partitions=opts.join_partitions,
-    )
-    ocr = joined.map_batches(
-        OcrActor,
+    ocr_text = media.select_columns(payload_cols).map_batches(  # never ship true_text
+        OcrMediaActor,
         fn_constructor_kwargs={
             "enhance": opts.enhance,
             "binarization": opts.binarization,
@@ -89,6 +99,9 @@ def extract_flat(
         batch_size=opts.ocr_batch_size,
         concurrency=opts.ocr_concurrency,
         num_cpus=1,
+    )
+    ocr = join_ocr_results(
+        media_spans, ocr_text, num_partitions=opts.join_partitions
     )
     return cleaned.union(ocr)
 
@@ -126,6 +139,9 @@ def run_extraction(
     skipped before execution)."""
     opts = opts or ExtractOptions()
     done = completed_partitions(out_dir)
+    if len(done) >= opts.n_parts:
+        # nothing left: every partition has a 'done' lineage record
+        return empty_lineage()
     docs = read_table(documents_uri)
     if done:
         done_set = frozenset(done)
@@ -150,4 +166,7 @@ def run_extraction(
     lineage = out.groupby("part_id").map_groups(
         PartitionWriter(out_dir), batch_format="pandas"
     )
-    return lineage.to_pandas()
+    df = lineage.to_pandas()
+    # zero groups (e.g. remaining docs all hashed to done partitions)
+    # yields a column-less frame; normalize so callers can index
+    return df if len(df) else empty_lineage()

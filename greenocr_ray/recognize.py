@@ -68,36 +68,41 @@ class Recognizer:
         return (mask & (neigh >= 2)).astype(np.uint8)
 
     @staticmethod
-    def _pool_to_grid(mask: np.ndarray, gh: int, gw: int) -> np.ndarray:
-        """Area-average a 0/1 mask down to a (gh, gw) float grid."""
-        h, w = mask.shape
-        ye = np.linspace(0, h, gh + 1)
-        xe = np.linspace(0, w, gw + 1)
-        ii = np.zeros((h + 1, w + 1), dtype=np.float64)
-        np.cumsum(
-            np.cumsum(mask, axis=0, dtype=np.float64), axis=1, out=ii[1:, 1:]
-        )
-        # fractional-boundary area sums via bilinear sampling of the integral image
-        def sample(yy: np.ndarray, xx: np.ndarray) -> np.ndarray:
-            y0 = np.floor(yy).astype(np.int64)
-            x0 = np.floor(xx).astype(np.int64)
-            y1 = np.minimum(y0 + 1, h)
-            x1 = np.minimum(x0 + 1, w)
-            fy = yy - y0
-            fx = xx - x0
-            g00 = ii[np.ix_(y0, x0)]
-            g01 = ii[np.ix_(y0, x1)]
-            g10 = ii[np.ix_(y1, x0)]
-            g11 = ii[np.ix_(y1, x1)]
-            top = g00 * (1 - fx)[None, :] + g01 * fx[None, :]
-            bot = g10 * (1 - fx)[None, :] + g11 * fx[None, :]
-            return top * (1 - fy)[:, None] + bot * fy[:, None]
-
-        s = sample(ye, xe)
-        areas = (
-            s[1:, 1:] - s[:-1, 1:] - s[1:, :-1] + s[:-1, :-1]
-        )
-        cell = (ye[1] - ye[0]) * (xe[1] - xe[0])
+    def _pool_from_integral(
+        ii: np.ndarray,
+        ys: int,
+        ye_: int,
+        xs: int,
+        xe_: int,
+        gh: int,
+        gw: int,
+    ) -> np.ndarray:
+        """Area-average the mask window [ys:ye_, xs:xe_) down to a
+        (gh, gw) float grid, sampling ONE precomputed line-level
+        integral image — no per-glyph cumsum. Fractional cell
+        boundaries are sampled bilinearly from the integral image,
+        identical math to pooling the window in isolation."""
+        h = ye_ - ys
+        w = xe_ - xs
+        hh = ii.shape[0] - 1
+        ww = ii.shape[1] - 1
+        ye = ys + np.arange(gh + 1, dtype=np.float64) * (h / gh)
+        xe = xs + np.arange(gw + 1, dtype=np.float64) * (w / gw)
+        y0 = np.floor(ye).astype(np.int64)
+        x0 = np.floor(xe).astype(np.int64)
+        y1 = np.minimum(y0 + 1, hh)
+        x1 = np.minimum(x0 + 1, ww)
+        fy = (ye - y0)[:, None]
+        fx = (xe - x0)[None, :]
+        g00 = ii[y0[:, None], x0[None, :]]
+        g01 = ii[y0[:, None], x1[None, :]]
+        g10 = ii[y1[:, None], x0[None, :]]
+        g11 = ii[y1[:, None], x1[None, :]]
+        top = g00 * (1 - fx) + g01 * fx
+        bot = g10 * (1 - fx) + g11 * fx
+        s = top * (1 - fy) + bot * fy
+        areas = s[1:, 1:] - s[:-1, 1:] - s[1:, :-1] + s[:-1, :-1]
+        cell = (h / gh) * (w / gw)
         return (areas / max(cell, 1e-9)).astype(np.float32)
 
     # ------------------------------------------------------------- main
@@ -123,6 +128,11 @@ class Recognizer:
         if not segs:
             return "", 0.0
         space_px = SPACE_GAP_THRESHOLD_U * self.scale
+        # one integral image for the whole line; every glyph pools from it
+        ii = np.zeros((line.shape[0] + 1, line.shape[1] + 1), dtype=np.float64)
+        np.cumsum(
+            np.cumsum(line, axis=0, dtype=np.float64), axis=1, out=ii[1:, 1:]
+        )
         out: list[str] = []
         confs: list[float] = []
         prev_end: int | None = None
@@ -132,8 +142,9 @@ class Recognizer:
             prev_end = x1
             cell = line[:, x0:x1]
             rows = np.nonzero(cell.any(axis=1))[0]
-            cell = cell[rows[0] : rows[-1] + 1, :]
-            grid = self._pool_to_grid(cell, GLYPH_H, GLYPH_W)
+            grid = self._pool_from_integral(
+                ii, int(rows[0]), int(rows[-1]) + 1, x0, x1, GLYPH_H, GLYPH_W
+            )
             v = (np.clip(grid, 0, 1) * 2.0 - 1.0).ravel()
             scores = self.templates @ v / self.templates.shape[1]
             k = int(np.argmax(scores))

@@ -27,12 +27,14 @@ from ..recognize import Recognizer
 OCR_BATCH_SIZE = 32
 
 
-class OcrActor:
+class _RecognizerBase:
     def __init__(self, enhance: str = "clahe", binarization: str = "otsu"):
         # once per actor: the 'model load' (cf. exe_t.py:461-471 torch.load)
         self.recognizer = Recognizer(enhance=enhance, binarization=binarization)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _recognize_rows(
+        self, batch: pa.Table
+    ) -> tuple[list[str], np.ndarray]:
         widths = batch.column("width").to_numpy()
         heights = batch.column("height").to_numpy()
         pixels = batch.column("pixels").to_pylist()
@@ -56,6 +58,15 @@ class OcrActor:
             text, conf = self.recognizer.recognize(img)
             texts.append(text)
             confs[i] = conf
+        return texts, confs
+
+
+class OcrActor(_RecognizerBase):
+    """OCR over span rows already joined with payloads
+    (doc_id, offset, media_ref, width, height, pixels)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts, confs = self._recognize_rows(batch)
         n = batch.num_rows
         return pa.table(
             {
@@ -64,6 +75,29 @@ class OcrActor:
                 "kind": pa.array(np.full(n, "ocr"), type=pa.string()),
                 "text": pa.array(texts, type=pa.string()),
                 "media_ref": batch.column("media_ref"),
+                "confidence": pa.array(confs),
+            }
+        )
+
+
+class OcrMediaActor(_RecognizerBase):
+    """OCR directly over the media payload table
+    (media_ref, width, height, pixels) -> (media_ref, text, confidence).
+
+    The scale-critical variant: pixels flow straight from the read
+    tasks into this actor pool and are DROPPED here — they never cross
+    a shuffle exchange. Only the recognized text (a few hundred bytes
+    per span vs ~100 KB of raster) joins back to the span rows, so the
+    downstream hash join moves ~1000x fewer bytes than joining payloads
+    onto spans first (cf. exe_t.py:475-533, where pixels likewise never
+    outlive the per-image loop)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts, confs = self._recognize_rows(batch)
+        return pa.table(
+            {
+                "media_ref": batch.column("media_ref"),
+                "text": pa.array(texts, type=pa.string()),
                 "confidence": pa.array(confs),
             }
         )

@@ -28,6 +28,25 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+LINEAGE_COLUMNS = [
+    "partition_id",
+    "n_docs",
+    "n_spans",
+    "n_media",
+    "wall_ms",
+    "spans_per_sec",
+    "mean_confidence",
+    "status",
+]
+
+
+def empty_lineage() -> pd.DataFrame:
+    """Zero-row lineage frame with the full column set — what a resumed
+    run returns when every partition is already done (callers index
+    columns, so an empty frame must still carry them)."""
+    return pd.DataFrame(columns=LINEAGE_COLUMNS)
+
+
 def partition_id(doc_id: str, n_parts: int) -> int:
     """Stable partitioner (crc32, not Python's salted hash)."""
     return zlib.crc32(doc_id.encode()) % n_parts
