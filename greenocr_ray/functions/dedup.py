@@ -148,7 +148,7 @@ def minhash_candidate_pairs(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(2, 8),
     )
     banded = sigs.map_batches(
         lambda t: _band_rows(t, num_perm, bands), batch_format="pyarrow"
@@ -165,10 +165,7 @@ def minhash_candidate_pairs(
     cand = banded.groupby(["band_id", "band_hash"]).map_groups(
         pairs_in_bucket, batch_format="pandas"
     )
-    # distinct pairs (a pair can fire in several bands)
-    from ray.data.aggregate import Count
-
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    return cand
 
 
 def minhash_dedup_pairs(
@@ -180,7 +177,15 @@ def minhash_dedup_pairs(
     """Verified near-duplicate pairs: LSH candidates + exact Jaccard
     verify (texts fetched via a broadcast of only the candidate docs —
     the candidate set is << corpus)."""
-    cand = minhash_candidate_pairs(docs, num_perm, bands).to_pandas()
+    raw = minhash_candidate_pairs(docs, num_perm, bands).to_pandas()
+    # distinct pairs (a pair can fire in several bands): the candidate
+    # set is << corpus, so the dedupe folds driver-side — no second
+    # shuffle for a result this small
+    cand = (
+        raw.groupby(["doc_a", "doc_b"]).size().rename("n_bands").reset_index()
+        if len(raw)
+        else raw
+    )
     if len(cand) == 0:
         return pd.DataFrame(
             {"doc_a": pd.Series([], dtype="int64"),
@@ -213,26 +218,33 @@ def minhash_dedup_pairs(
 
 
 class SimHasher:
-    """64-bit simhash over token crc32 features (stateful: none needed,
-    but kept class-shaped for actor-pool symmetry)."""
+    """64-bit simhash over token crc32 features. Stateful: the
+    token->hash cache persists across batches (an actor-pool stage), so
+    repeated vocabulary costs one crc32 pair ever per actor."""
 
     def __init__(self):
         self.bits = 64
+        self._cache: dict[str, int] = {}
+        self._bitpos = np.arange(64, dtype=np.uint64)
+
+    def _token_hash(self, t: str) -> int:
+        h = self._cache.get(t)
+        if h is None:
+            h = zlib.crc32(t.encode()) | (zlib.crc32(t[::-1].encode()) << 32)
+            self._cache[t] = h
+        return h
 
     def simhash(self, text: str) -> int:
         toks = _TOKEN_RE.findall(text.lower())
         if not toks:
             return 0
-        acc = np.zeros(self.bits, dtype=np.int64)
-        for t in toks:
-            h = zlib.crc32(t.encode()) | (zlib.crc32(t[::-1].encode()) << 32)
-            for bit in range(self.bits):
-                acc[bit] += 1 if (h >> bit) & 1 else -1
-        out = 0
-        for bit in range(self.bits):
-            if acc[bit] > 0:
-                out |= 1 << bit
-        return out
+        hs = np.fromiter(
+            (self._token_hash(t) for t in toks), dtype=np.uint64, count=len(toks)
+        )
+        # vectorized bit vote: unpack all 64 bits of every token hash
+        bits = (hs[:, None] >> self._bitpos[None, :]) & np.uint64(1)
+        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        return int(((votes > 0).astype(np.uint64) << self._bitpos).sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -248,7 +260,7 @@ class SimHasher:
 
 
 def simhash_table(docs: rd.Dataset) -> rd.Dataset:
-    return docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=2)
+    return docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=(2, 8))
 
 
 def simhash_near_dups(docs: rd.Dataset, max_hamming: int = 3) -> pd.DataFrame:

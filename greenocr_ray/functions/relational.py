@@ -20,11 +20,40 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def combine_small_agg(
+    parts: rd.Dataset, keys: list[str], agg: dict[str, str]
+) -> pd.DataFrame:
+    """Final combine for SMALL-cardinality grouped aggregations.
+
+    ``parts`` holds per-block partial aggregates (each block already
+    collapsed to <= #groups rows by a map_batches partial), so total
+    size is bounded by #groups x #blocks. For group counts in the
+    hundreds-to-thousands, Ray's shuffle aggregate pays seconds of
+    fixed actor-pool cost to move kilobytes; instead the partials are
+    STREAMED to the driver and folded incrementally — O(#groups)
+    driver memory regardless of block count, no shuffle at all.
+
+    Use Ray's native ``groupby().aggregate()`` when the group count is
+    itself data-sized (e.g. per-document keys): this helper's driver
+    fold would then become the bottleneck.
+
+    ``agg`` maps column -> 'sum' | 'min' | 'max' (partial counts are
+    combined with 'sum').
+    """
+    acc: pd.DataFrame | None = None
+    for batch in parts.iter_batches(batch_size=65536, batch_format="pandas"):
+        acc = batch if acc is None else pd.concat([acc, batch], ignore_index=True)
+        if len(acc) > 200_000:  # fold early: bound driver memory
+            acc = acc.groupby(keys, sort=False).agg(agg).reset_index()
+    if acc is None:
+        return pd.DataFrame(columns=[*keys, *agg])
+    return acc.groupby(keys, sort=False).agg(agg).reset_index()
 
 
 # ------------------------------------------------------ Q1-style agg
@@ -64,17 +93,17 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         return g.reset_index()
 
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    out = (
-        parts.groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_base_price", alias_name="sum_base_price"),
-            Sum("sum_disc_price", alias_name="sum_disc_price"),
-            Sum("sum_charge", alias_name="sum_charge"),
-            Sum("sum_disc", alias_name="sum_disc"),
-            Sum("count_order", alias_name="count_order"),
-        )
-        .to_pandas()
+    out = combine_small_agg(
+        parts,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": "sum",
+            "sum_base_price": "sum",
+            "sum_disc_price": "sum",
+            "sum_charge": "sum",
+            "sum_disc": "sum",
+            "count_order": "sum",
+        },
     )
     out["avg_qty"] = (out["sum_qty"] / out["count_order"]).round(6)
     out["avg_price"] = (out["sum_base_price"] / out["count_order"]).round(6)
@@ -141,13 +170,8 @@ def q_segment_revenue(sf_dir: str) -> pd.DataFrame:
         return g.reset_index()
 
     parts = orders.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    out = (
-        parts.groupby("c_mktsegment")
-        .aggregate(
-            Sum("revenue", alias_name="revenue"),
-            Sum("n_orders", alias_name="n_orders"),
-        )
-        .to_pandas()
+    out = combine_small_agg(
+        parts, ["c_mktsegment"], {"revenue": "sum", "n_orders": "sum"}
     )
     out["revenue"] = out["revenue"].round(2)
     return out.sort_values("c_mktsegment").reset_index(drop=True)
@@ -186,13 +210,8 @@ def q_region_customers(sf_dir: str) -> pd.DataFrame:
         return g.reset_index()
 
     parts = cust.map_batches(partial, batch_format="pyarrow")
-    out = (
-        parts.groupby("r_name")
-        .aggregate(
-            Sum("n_customers", alias_name="n_customers"),
-            Sum("sum_acctbal", alias_name="sum_acctbal"),
-        )
-        .to_pandas()
+    out = combine_small_agg(
+        parts, ["r_name"], {"n_customers": "sum", "sum_acctbal": "sum"}
     )
     out["avg_acctbal"] = (out["sum_acctbal"] / out["n_customers"]).round(6)
     out["sum_acctbal"] = out["sum_acctbal"].round(2)
@@ -217,14 +236,10 @@ def q_supplier_nation(sf_dir: str) -> pd.DataFrame:
             .reset_index()
         )
 
-    out = (
-        supp.map_batches(partial, batch_format="pyarrow")
-        .groupby("n_name")
-        .aggregate(
-            Sum("n_suppliers", alias_name="n_suppliers"),
-            Sum("total_acctbal", alias_name="total_acctbal"),
-        )
-        .to_pandas()
+    out = combine_small_agg(
+        supp.map_batches(partial, batch_format="pyarrow"),
+        ["n_name"],
+        {"n_suppliers": "sum", "total_acctbal": "sum"},
     )
     out["total_acctbal"] = out["total_acctbal"].round(2)
     return out.sort_values("n_name").reset_index(drop=True)
@@ -235,29 +250,46 @@ def q_supplier_nation(sf_dir: str) -> pd.DataFrame:
 
 def q_lang_counts(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
-    out = (
-        ds.groupby("lang")
-        .aggregate(
-            Count(alias_name="n_docs"),
-            Sum("n_chars", alias_name="total_chars"),
-            Min("n_chars", alias_name="min_chars"),
-            Max("n_chars", alias_name="max_chars"),
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        g = df.groupby("lang", sort=False).agg(
+            n_docs=("n_chars", "size"),
+            total_chars=("n_chars", "sum"),
+            min_chars=("n_chars", "min"),
+            max_chars=("n_chars", "max"),
         )
-        .to_pandas()
+        return g.reset_index()
+
+    out = combine_small_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang"],
+        {
+            "n_docs": "sum",
+            "total_chars": "sum",
+            "min_chars": "min",
+            "max_chars": "max",
+        },
     )
     return out.sort_values("lang").reset_index(drop=True)
 
 
 def q_part_brand_stats(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
-    out = (
-        ds.groupby("p_brand")
-        .aggregate(
-            Count(alias_name="n_parts"),
-            Sum("p_retailprice", alias_name="sum_price"),
-            Max("p_size", alias_name="max_size"),
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        g = df.groupby("p_brand", sort=False).agg(
+            n_parts=("p_retailprice", "size"),
+            sum_price=("p_retailprice", "sum"),
+            max_size=("p_size", "max"),
         )
-        .to_pandas()
+        return g.reset_index()
+
+    out = combine_small_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["p_brand"],
+        {"n_parts": "sum", "sum_price": "sum", "max_size": "max"},
     )
     out["avg_price"] = (out["sum_price"] / out["n_parts"]).round(6)
     out["sum_price"] = out["sum_price"].round(2)
@@ -284,14 +316,10 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
         )
         return g.reset_index()
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby(["event_type", "hour_bucket"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("sum_value", alias_name="sum_value"),
-        )
-        .to_pandas()
+    out = combine_small_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type", "hour_bucket"],
+        {"n_events": "sum", "sum_value": "sum"},
     )
     out["avg_value"] = (out["sum_value"] / out["n_events"]).round(6)
     out["sum_value"] = out["sum_value"].round(2)

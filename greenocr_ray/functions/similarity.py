@@ -113,7 +113,7 @@ def knn_cosine_lsh(
         LshIndexer,
         fn_constructor_kwargs={"dim": dim, "nbits": nbits},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(2, 8),
     )
 
     def only_bucket(t: pa.Table) -> pa.Table:

@@ -144,7 +144,7 @@ def fingerprint(batch: pa.Table, k: int = 8, window: int = 4) -> pa.Table:
 def langid_accuracy(docs: rd.Dataset) -> rd.Dataset:
     """Accuracy of the n-gram langid vs the table's lang labels —
     per-lang aggregate (partial counts in map_batches, tiny groupby)."""
-    scored = docs.map_batches(LangId, batch_format="pandas", concurrency=2)
+    scored = docs.map_batches(LangId, batch_format="pandas", concurrency=(2, 8))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(correct=(df["pred_lang"] == df["lang"]).astype("int64"))
