@@ -221,6 +221,37 @@ def _q_media_features(sf_dir: str) -> Any:
     )
 
 
+def _q_near_dup_embeddings(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.similarity import embedding_near_dup_pairs
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return embedding_near_dup_pairs(ds, threshold=0.35)
+
+
+def _q_knn_ivf(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.similarity import knn_cosine_ivf
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return knn_cosine_ivf(ds, _query_vec(sf_dir), k=10, exclude={0})
+
+
+def _q_ngram_jaccard(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.dedup import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold=0.5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from greenocr_ray.functions import relational as R
 
@@ -239,6 +270,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": R.q_lang_counts,
         "part_brand_stats": R.q_part_brand_stats,
         "events_hourly": R.q_events_hourly,
+        "sessionize": R.q_sessionize,
+        "top_orders_per_segment": R.q_top_orders_per_segment,
+        "asof_prev_click": R.q_asof_prev_click,
+        "distinct_chars": R.q_distinct_chars,
         # text analysis
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
@@ -248,9 +283,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
         # similarity search
         "knn_cosine": _q_knn,
         "knn_cosine_lsh": _q_knn_lsh,
+        "knn_cosine_ivf": _q_knn_ivf,
+        "near_dup_embeddings": _q_near_dup_embeddings,
     }
 
 
@@ -351,6 +389,66 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS keeper,
                    COUNT(*) AS n_copies
             FROM documents GROUP BY text ORDER BY text_md5
+        """,
+        "sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT *, SUM(is_new) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_num
+                FROM flagged
+            )
+            SELECT user_id, CAST(session_num AS BIGINT) AS session_num,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+                   CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM numbered GROUP BY user_id, session_num
+            ORDER BY user_id, session_num
+        """,
+        "top_orders_per_segment": """
+            SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+                SELECT c.c_mktsegment, o.o_orderkey,
+                       ROUND(o.o_totalprice, 2) AS o_totalprice,
+                       row_number() OVER (PARTITION BY c.c_mktsegment
+                           ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            ) WHERE rn <= 3 ORDER BY c_mktsegment, rn
+        """,
+        "asof_prev_click": """
+            WITH e AS (
+                SELECT event_id, event_type,
+                       max(CASE WHEN event_type = 'click' THEN ts END) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS prev_click_ts
+                FROM events
+            )
+            SELECT event_id,
+                   CAST(floor(epoch(prev_click_ts)) AS DOUBLE) AS prev_click_epoch
+            FROM e WHERE event_type = 'purchase' ORDER BY event_id
+        """,
+        "distinct_chars": """
+            SELECT ch FROM (
+                SELECT DISTINCT unnest(string_split(text, '')) AS ch
+                FROM documents
+            ) ORDER BY ch
+        """,
+        "near_dup_embeddings": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.35
+            ORDER BY vec_a, vec_b
         """,
         "knn_cosine": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e

@@ -290,3 +290,51 @@ def simhash_near_dups(docs: rd.Dataset, max_hamming: int = 3) -> pd.DataFrame:
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
     )
+
+
+# ------------------------------------------------------- n-gram jaccard
+
+
+def ngram_jaccard_pairs(
+    docs: rd.Dataset,
+    threshold: float = 0.5,
+    k: int = 3,
+    max_hamming: int = 8,
+) -> pd.DataFrame:
+    """Verified n-gram-Jaccard near-dup pairs.
+
+    Candidate generation reuses the simhash prefix buckets (one
+    groupby shuffle, pairwise work only inside buckets); candidates
+    within ``max_hamming`` simhash bits are then verified with EXACT
+    k-gram Jaccard over the pair texts. Complements minhash LSH: the
+    simhash blocking catches word-reorder dups the band scheme can
+    miss at low similarity.
+    """
+    cand = simhash_near_dups(docs, max_hamming=max_hamming)
+    if len(cand) == 0:
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64"),
+             "jaccard_sim": pd.Series([], dtype="float64")}
+        )
+    needed = set(cand["doc_a"]) | set(cand["doc_b"])
+
+    def grab(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return t.select(["doc_id", "text"]).filter(
+            pa.array([i in needed for i in ids])
+        )
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.map_batches(grab, batch_format="pyarrow").take_all()
+    }
+    sims = [
+        jaccard(texts[a], texts[b], k=k)
+        for a, b in zip(cand["doc_a"], cand["doc_b"])
+    ]
+    out = cand.assign(jaccard_sim=np.round(sims, 6))
+    out = out[out["jaccard_sim"] >= threshold][
+        ["doc_a", "doc_b", "jaccard_sim"]
+    ]
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -324,3 +324,165 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     out["avg_value"] = (out["sum_value"] / out["n_events"]).round(6)
     out["sum_value"] = out["sum_value"].round(2)
     return out.sort_values(["event_type", "hour_bucket"]).reset_index(drop=True)
+
+
+# ------------------------------------------- sessionization (gap windows)
+
+
+def q_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Gap-based sessionization per user: a new session starts when the
+    inter-event gap exceeds ``gap_minutes``. The per-user event history
+    must be contiguous -> genuine ``groupby(user_id).map_groups``
+    shuffle (the one wide op here); session stats are computed
+    vectorized inside each group. Session count is data-sized, so the
+    result stays a Dataset-shaped output, not a driver fold.
+
+    Reference analog: the size-bucket grouping + per-bucket sequential
+    pass (train.py:899-1004) — grouping key swapped for user_id, order
+    swapped for event time.
+    """
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new[1:] = (ts[1:] - ts[:-1]) > gap
+        sess = np.cumsum(new)
+        out = (
+            pd.DataFrame(
+                {
+                    "user_id": g["user_id"].to_numpy(),
+                    "session_num": sess,
+                    "epoch": ts.astype("datetime64[s]").astype("int64"),
+                    "value": g["value"].to_numpy(),
+                }
+            )
+            .groupby("session_num", sort=True)
+            .agg(
+                user_id=("user_id", "first"),
+                session_start=("epoch", "min"),
+                session_end=("epoch", "max"),
+                n_events=("value", "size"),
+                sum_value=("value", "sum"),
+            )
+            .reset_index()
+        )
+        out["sum_value"] = out["sum_value"].round(2)
+        return out[
+            ["user_id", "session_num", "session_start", "session_end",
+             "n_events", "sum_value"]
+        ]
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["user_id", "session_num"])
+        .reset_index(drop=True)
+    )
+
+
+# ----------------------------------------------- top-k per group (window)
+
+
+def q_top_orders_per_segment(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-k orders by price per market segment — the rank-window
+    pattern without a global sort: broadcast the small dim, keep a
+    per-segment top-k inside every batch (vectorized), merge the tiny
+    partials driver-side. Ties break on o_orderkey for determinism."""
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_map = dict(
+        zip(cust.column("c_custkey").to_pylist(),
+            cust.column("c_mktsegment").to_pylist())
+    )
+    seg_ref = ray.put(seg_map)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        seg = ray.get(seg_ref)
+        df = t.to_pandas()
+        df["c_mktsegment"] = df["o_custkey"].map(seg)
+        df = df.sort_values(
+            ["c_mktsegment", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        return df.groupby("c_mktsegment", sort=False).head(k)[
+            ["c_mktsegment", "o_orderkey", "o_totalprice"]
+        ]
+
+    parts = orders.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    allp = parts.to_pandas().sort_values(
+        ["c_mktsegment", "o_totalprice", "o_orderkey"],
+        ascending=[True, False, True],
+    )
+    out = allp.groupby("c_mktsegment", sort=True).head(k).reset_index(drop=True)
+    out["rn"] = out.groupby("c_mktsegment").cumcount() + 1
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return out[["c_mktsegment", "rn", "o_orderkey", "o_totalprice"]]
+
+
+# --------------------------------------------------------- as-of join
+
+
+def q_asof_prev_click(sf_dir: str) -> pd.DataFrame:
+    """As-of self-join: for every 'purchase' event, the timestamp of
+    the user's most recent STRICTLY PRIOR 'click' (NULL if none).
+    Ray shape: one groupby(user_id) shuffle, then a sorted single pass
+    per group (running max of click time, shifted by one row) — the
+    partitioning assumption is events-of-a-user fit one group."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        click_ts = g["ts"].where(g["event_type"] == "click")
+        # rows are time-ascending, so the last prior click IS the max
+        # prior click; ffill carries it forward (cummax would stall on
+        # NaT), shift(1) makes it strictly prior
+        prev = click_ts.ffill().shift(1)
+        mask = (g["event_type"] == "purchase").to_numpy()
+        prev_m = prev[mask]
+        epoch = prev_m.to_numpy().astype("datetime64[s]").astype("float64")
+        epoch[pd.isna(prev_m).to_numpy()] = np.nan  # NaT -> NULL
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy()[mask],
+                "prev_click_epoch": epoch,
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(asof, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+# -------------------------------------------------- distinct char set (G4)
+
+
+def q_distinct_chars(sf_dir: str) -> pd.DataFrame:
+    """Global distinct character set over documents.text
+    (uniqueLabels.py:4-13 semantics): per-batch set partials, driver
+    union — distinct-value cardinality is alphabet-sized, so no
+    shuffle."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        chars: set[str] = set()
+        for s in t.column("text").to_pylist():
+            chars.update(s)
+        return pd.DataFrame({"ch": sorted(chars)})
+
+    seen: set[str] = set()
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pandas"
+    ):
+        seen.update(b["ch"])
+    return pd.DataFrame({"ch": sorted(seen)})

@@ -123,3 +123,129 @@ def knn_cosine_lsh(
 
     in_bucket = bucketed.map_batches(only_bucket, batch_format="pyarrow")
     return knn_cosine(in_bucket, query, k=k, exclude=exclude)
+
+
+# --------------------------------------------- embedding near-duplicates
+
+
+def embedding_near_dup_pairs(
+    embeddings: rd.Dataset, threshold: float = 0.8
+) -> pd.DataFrame:
+    """EXACT cosine near-duplicate pairs (vec_a < vec_b, sim >= t).
+
+    Block-matmul all-pairs: the L2-normalized corpus matrix is
+    broadcast ONCE (``ray.put``); each batch multiplies its rows
+    against it and emits only pairs above threshold — O(n^2) flops but
+    fully distributed, zero shuffle, and only the (sparse) qualifying
+    pairs leave the tasks. Valid while the normalized matrix fits a
+    worker's heap (~3 GB at 10M x 64-d float32); beyond that, use the
+    LSH-bucketed approximate variant below.
+    """
+    ids_all: list[np.ndarray] = []
+    mats: list[np.ndarray] = []
+    for b in embeddings.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        i, m = _batch_matrix(b)
+        ids_all.append(i)
+        mats.append(m)
+    ids = np.concatenate(ids_all)
+    m = np.concatenate(mats).astype(np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mn = m / norms
+    order = np.argsort(ids)
+    ids, mn = ids[order], mn[order]
+    ref = ray.put((ids, mn))  # float64: oracle compares at 6 decimals
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        all_ids, corpus = ray.get(ref)
+        bids, bm = _batch_matrix(batch)
+        bnorm = np.linalg.norm(bm, axis=1, keepdims=True)
+        bnorm[bnorm == 0] = 1.0
+        sims = (bm / bnorm) @ corpus.T
+        out_a, out_b, out_s = [], [], []
+        for r in range(sims.shape[0]):
+            hit = np.nonzero(sims[r] >= threshold)[0]
+            for c in hit:
+                a, bb = int(bids[r]), int(all_ids[c])
+                if a < bb:  # dedupe + drop self
+                    out_a.append(a)
+                    out_b.append(bb)
+                    out_s.append(float(sims[r, c]))
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(out_a, dtype="int64"),
+                "vec_b": pd.Series(out_b, dtype="int64"),
+                "cos_sim": pd.Series(np.round(out_s, 6), dtype="float64"),
+            }
+        )
+
+    return (
+        embeddings.map_batches(pairs, batch_format="pyarrow", batch_size=2048)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+
+
+# ----------------------------------------------------------- IVF index
+
+
+class IvfIndex:
+    """IVF (inverted-file) ANN: seeded k-means centroids on a corpus
+    sample, per-vector nearest-centroid assignment, query probes only
+    the ``nprobe`` closest lists — the classic scale path when one LSH
+    bucket recalls too little. Deterministic: fixed seed, fixed Lloyd
+    iteration count, ties break on lowest centroid index."""
+
+    def __init__(self, sample: np.ndarray, nlist: int = 16, iters: int = 5,
+                 seed: int = 7):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        n = sample.shape[0]
+        nlist = min(nlist, n)
+        idx = rng.choice(n, size=nlist, replace=False)
+        c = sample[np.sort(idx)].copy()
+        for _ in range(iters):
+            d = ((sample[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for j in range(nlist):
+                pts = sample[assign == j]
+                if len(pts):
+                    c[j] = pts.mean(axis=0)
+        self.centroids = c
+
+    def assign(self, vecs: np.ndarray) -> np.ndarray:
+        d = ((vecs[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)
+
+
+def knn_cosine_ivf(
+    embeddings: rd.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 2048,
+    exclude: set[int] | None = None,
+) -> pd.DataFrame:
+    """ANN top-k via IVF: train centroids on a bounded sample
+    (driver-side, deterministic), broadcast them, assign every vector
+    in a map_batches pass, scan only the query's nprobe nearest lists.
+    Approximate (recall < 1); the exact variant is ``knn_cosine``."""
+    sample_rows = embeddings.limit(sample_size).to_pandas()
+    sample = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in sample_rows["embedding"]]
+    )
+    index = IvfIndex(sample, nlist=nlist)
+    idx_ref = ray.put(index)
+    q = np.asarray(query, dtype=np.float64)
+    qd = ((q[None, :] - index.centroids) ** 2).sum(axis=1)
+    probe = set(np.argsort(qd)[:nprobe].tolist())
+
+    def in_probed_lists(batch: pa.Table) -> pa.Table:
+        ix = ray.get(idx_ref)
+        _, m = _batch_matrix(batch)
+        keep = np.array([a in probe for a in ix.assign(m)])
+        return batch.filter(pa.array(keep))
+
+    candidates = embeddings.map_batches(in_probed_lists, batch_format="pyarrow")
+    return knn_cosine(candidates, query, k=k, exclude=exclude)
