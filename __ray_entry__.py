@@ -128,7 +128,7 @@ def _q_langid(sf_dir: str) -> Any:
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
-    return langid_accuracy(ds).to_pandas().sort_values("lang").reset_index(drop=True)
+    return langid_accuracy(ds).sort_values("lang").reset_index(drop=True)
 
 
 def _q_fingerprints(sf_dir: str) -> Any:
@@ -204,6 +204,35 @@ def _q_knn_lsh(sf_dir: str) -> Any:
     return knn_cosine_lsh(ds, _query_vec(sf_dir), k=10, exclude={0})
 
 
+def _q_media_resize(sf_dir: str) -> Any:
+    """Aspect-preserving h=64 resize over payload rasters (multimodal
+    actor-pool stage; rows-only — emits binary payloads)."""
+    import ray.data as rd
+
+    from greenocr_ray.functions.multimodal import ImageResizeStage
+
+    paths = _interleaved(sf_dir, max_docs=100)
+    media = rd.read_parquet(paths["media"])
+    out = (
+        media.map_batches(
+            ImageResizeStage,
+            fn_constructor_kwargs={"target_h": 64},
+            batch_format="pyarrow",
+            batch_size=32,
+            concurrency=(1, 4),
+        )
+        .to_pandas()
+        .sort_values("media_ref")
+        .reset_index(drop=True)
+    )
+    # payload bytes don't hash stably across pandas versions; project
+    # the deterministic metadata + a content checksum instead
+    import zlib as _z
+
+    out["payload_crc"] = [int(_z.crc32(p)) for p in out["pixels"]]
+    return out[["media_ref", "width", "height", "payload_crc"]]
+
+
 def _q_media_features(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -260,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_spans": _q_extract_spans,
         "extract_verify": _q_extract_verify,
         "media_features": _q_media_features,
+        "media_resize": _q_media_resize,
         # relational operator suite (oracle-checked)
         "q1_pricing_summary": R.q1_pricing_summary,
         "top_orders": R.q_top_orders,

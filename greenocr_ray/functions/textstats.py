@@ -141,21 +141,20 @@ def fingerprint(batch: pa.Table, k: int = 8, window: int = 4) -> pa.Table:
     )
 
 
-def langid_accuracy(docs: rd.Dataset) -> rd.Dataset:
+def langid_accuracy(docs: rd.Dataset) -> pd.DataFrame:
     """Accuracy of the n-gram langid vs the table's lang labels —
-    per-lang aggregate (partial counts in map_batches, tiny groupby)."""
+    per-lang partial counts in map_batches, driver fold (languages are
+    a bounded-cardinality key)."""
+    from .relational import combine_small_agg
+
     scored = docs.map_batches(LangId, batch_format="pandas", concurrency=(2, 8))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(correct=(df["pred_lang"] == df["lang"]).astype("int64"))
         g = df.groupby("lang", sort=True).agg(
-            n=("doc_id", "size"), n_correct=("correct", "sum")
+            n_docs=("doc_id", "size"), n_correct=("correct", "sum")
         )
         return g.reset_index()
 
     parts = scored.map_batches(partial, batch_format="pandas")
-    from ray.data.aggregate import Sum
-
-    return parts.groupby("lang").aggregate(
-        Sum("n", alias_name="n_docs"), Sum("n_correct", alias_name="n_correct")
-    )
+    return combine_small_agg(parts, ["lang"], {"n_docs": "sum", "n_correct": "sum"})
