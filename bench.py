@@ -23,7 +23,16 @@ import time
 
 def scaling_main() -> None:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            # scaling legs: headline pipeline only, on a 4x corpus —
+            # Ray's actor-pool spin-up/drain is a fixed ~2.5s per
+            # execution, so the per-leg work must dwarf it for the
+            # efficiency ratio to reflect the pipeline, not the harness
+            GRAFT_BENCH_HEADLINE_ONLY="1",
+            GRAFT_BENCH_REPEAT="4",
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -56,6 +65,8 @@ def scaling_main() -> None:
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "1"))
+    headline_only = os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") == "1"
 
     import ray
 
@@ -79,36 +90,58 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from greenocr_ray.pipelines.extract import ExtractOptions, run_extraction
     from greenocr_ray.pipelines.interleave import build_interleaved
+    from greenocr_ray.pipelines.sharded import ShardedOptions, run_sharded_extraction
 
     # ---- untimed prep: derive the interleaved corpus (cached in /tmp)
-    tag = hashlib.md5(f"{sf_dir}|bench".encode()).hexdigest()[:10]
+    tag = hashlib.md5(f"{sf_dir}|bench-v2|r{repeat}".encode()).hexdigest()[:10]
     corpus_dir = f"/tmp/greenocr_bench/{tag}"
-    paths = build_interleaved(sf_dir, corpus_dir)
+    paths = build_interleaved(sf_dir, corpus_dir, repeat=repeat)
     n_docs = pq.read_table(paths["documents"], columns=["doc_id"]).num_rows
-    # warm the page cache so the timed run measures compute + shuffle
+    # warm the page cache (+ Ray worker prestart) so the timed run
+    # measures compute + exchange, not cold I/O
     rd.read_parquet(paths["media"]).count()
 
-    # ---- headline: flagship extraction, checkpointed write
+    # ---- headline: co-partitioned shard extraction (zero-shuffle
+    # fast path; the layout build_interleaved produces), checkpointed
     out_dir = f"/tmp/greenocr_bench/out_{num_cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
-    opts = ExtractOptions(
-        n_parts=max(num_cpus, 16),
-        join_partitions=max(num_cpus, 16),
-        # pool floor skips autoscaling ramp-up; ceiling < num_cpus so
-        # the read/clean task pools feeding the actors never starve
-        ocr_concurrency=(min(8, num_cpus), num_cpus),
-    )
+    # fixed pool at 3/4 of the CPUs: headroom for dataset machinery,
+    # and the SAME cluster fraction at every size so the N->4N legs
+    # compare like for like (the shard specs are pre-materialized
+    # items — no upstream read tasks to starve)
+    sopts = ShardedOptions(concurrency=max(1, (num_cpus * 3) // 4))
     t0 = time.monotonic()
-    lineage = run_extraction(paths["documents"], paths["media"], out_dir, opts)
+    lineage = run_sharded_extraction(
+        paths["documents"], paths["media"], out_dir, sopts
+    )
     headline = time.monotonic() - t0
     assert int(lineage["n_docs"].sum()) == n_docs, "bench output lost docs"
+
+    # ---- secondary: the general streaming pipeline (hash-join path
+    # for non-co-partitioned media layouts)
+    streaming = None
+    if not headline_only:
+        out_dir2 = f"/tmp/greenocr_bench/outs_{num_cpus}"
+        shutil.rmtree(out_dir2, ignore_errors=True)
+        opts = ExtractOptions(
+            n_parts=max(num_cpus, 16),
+            join_partitions=max(num_cpus, 16),
+            # pool floor skips autoscaling ramp-up, but must stay below
+            # num_cpus or the floor actors reserve every CPU and starve
+            # the read tasks that feed them (observed deadlock at 8 cpus)
+            ocr_concurrency=(min(8, max(1, num_cpus // 2)), num_cpus),
+        )
+        t0 = time.monotonic()
+        lin2 = run_extraction(paths["documents"], paths["media"], out_dir2, opts)
+        streaming = time.monotonic() - t0
+        assert int(lin2["n_docs"].sum()) == n_docs, "streaming output lost docs"
 
     # ---- per-query timings over the raw testdata tables
     import __ray_entry__ as E
 
     qs = E.queries()
     timings: dict[str, float] = {}
-    for name in (
+    for name in () if headline_only else (
         "q1_pricing_summary",
         "events_hourly",
         "segment_revenue",
@@ -136,6 +169,9 @@ def main() -> None:
         "n_media": int(lineage["n_media"].sum()),
         "mean_confidence": round(float(lineage["mean_confidence"].mean()), 4),
     }
+    if streaming is not None:
+        result["streaming_sec"] = round(streaming, 3)
+        result["streaming_docs_per_sec"] = round(n_docs / streaming, 2)
     ray.shutdown()
     print(json.dumps(result))
 

@@ -138,12 +138,25 @@ def render_media_rows(batch: pa.Table) -> pa.Table:
     )
 
 
+_REPEAT_STRIDE = 10_000_000  # doc_id offset between repeated copies
+
+
 def build_interleaved(
-    sf_dir: str, out_dir: str, max_docs: int | None = None
+    sf_dir: str,
+    out_dir: str,
+    max_docs: int | None = None,
+    repeat: int = 1,
+    row_group_size: int = 24,
 ) -> dict[str, str]:
     """Build (documents, media) parquet under out_dir from
     ``{sf_dir}/documents.parquet``. Cached: skips if already built.
-    Returns {'documents': path, 'media': path}."""
+    Returns {'documents': path, 'media': path}.
+
+    ``repeat`` unions shifted copies of the source (doc_ids offset by
+    a fixed stride) — a deterministic corpus-size knob for scaling
+    runs. ``row_group_size`` keeps documents row groups small so the
+    co-partitioned shard planner (pipelines/sharded.py) gets
+    fine-grained shards straight from parquet metadata."""
     os.makedirs(out_dir, exist_ok=True)
     doc_path = os.path.join(out_dir, "documents")
     media_path = os.path.join(out_dir, "media")
@@ -154,7 +167,25 @@ def build_interleaved(
     src = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     if max_docs is not None:
         src = src.limit(max_docs)
-    src.map_batches(build_documents, batch_format="pyarrow").write_parquet(doc_path)
+    if repeat > 1:
+        import pyarrow.compute as pc_
+
+        def shift(k: int):
+            def fn(t: pa.Table) -> pa.Table:
+                return t.set_column(
+                    t.schema.get_field_index("doc_id"),
+                    "doc_id",
+                    pc_.add(t.column("doc_id"), k * _REPEAT_STRIDE),
+                )
+
+            return fn
+
+        base = src
+        for k in range(1, repeat):
+            src = src.union(base.map_batches(shift(k), batch_format="pyarrow"))
+    src.map_batches(build_documents, batch_format="pyarrow").write_parquet(
+        doc_path, row_group_size=row_group_size
+    )
     src.map_batches(
         render_media_rows, batch_format="pyarrow", batch_size=64
     ).write_parquet(media_path)

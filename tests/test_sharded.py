@@ -1,0 +1,94 @@
+"""Co-partitioned shard extraction (pipelines/sharded.py): output
+equality with the streaming hash-join path, resume semantics, and
+metadata-only shard planning."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+
+from greenocr_ray.fixtures.gen import make_corpus
+from greenocr_ray.pipelines.extract import ExtractOptions, run_extraction
+from greenocr_ray.pipelines.sharded import (
+    ShardedOptions,
+    plan_shards,
+    run_sharded_extraction,
+)
+from greenocr_ray.state.lineage import completed_partitions
+
+
+def _write(tmp_path, n_docs=20, seed=77, row_group_size=5):
+    documents, media, expected = make_corpus(n_docs=n_docs, seed=seed)
+    d = tmp_path / "data"
+    d.mkdir()
+    pq.write_table(documents, str(d / "documents.parquet"), row_group_size=row_group_size)
+    pq.write_table(media, str(d / "media.parquet"))
+    return str(d / "documents.parquet"), str(d / "media.parquet"), expected
+
+
+def _spans_by_doc(out_dir):
+    rows = {}
+    for f in sorted(os.listdir(out_dir)):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(out_dir, f))
+            for i in range(t.num_rows):
+                rows[t.column("doc_id")[i].as_py()] = [
+                    (s["kind"], s["text"], s["media_ref"], s["offset"])
+                    for s in t.column("spans")[i].as_py()
+                ]
+    return rows
+
+
+def test_plan_shards_metadata_only(ray_session, tmp_path):
+    docs, _, _ = _write(tmp_path, n_docs=20, row_group_size=5)
+    shards = plan_shards(docs)
+    assert len(shards) == 4  # 20 docs / 5-row groups
+    assert shards[0].doc_lo <= shards[0].doc_hi
+    # contiguous ids, no overlap between consecutive shard doc ranges
+    for a, b in zip(shards, shards[1:]):
+        assert a.doc_hi < b.doc_lo
+
+
+def test_sharded_matches_streaming_path(ray_session, tmp_path):
+    docs, media, expected = _write(tmp_path)
+    out_s = str(tmp_path / "sharded")
+    lin = run_sharded_extraction(
+        docs, media, out_s, ShardedOptions(concurrency=2)
+    )
+    assert int(lin["n_docs"].sum()) == 20
+    out_j = str(tmp_path / "stream")
+    run_extraction(
+        docs,
+        media,
+        out_j,
+        ExtractOptions(n_parts=4, join_partitions=2, ocr_concurrency=(1, 2)),
+    )
+    assert _spans_by_doc(out_s) == _spans_by_doc(out_j)
+    # and both match the generator's expected spans
+    got = _spans_by_doc(out_s)
+    for i in range(expected.num_rows):
+        did = expected.column("doc_id")[i].as_py()
+        want = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in expected.column("spans")[i].as_py()
+        ]
+        assert got[did] == want
+
+
+def test_sharded_resume(ray_session, tmp_path):
+    docs, media, _ = _write(tmp_path)
+    out = str(tmp_path / "out")
+    lin1 = run_sharded_extraction(docs, media, out, ShardedOptions(concurrency=2))
+    golden = _spans_by_doc(out)
+    assert sorted(lin1["partition_id"]) == [0, 1, 2, 3]
+    os.remove(os.path.join(out, "part-00002.parquet"))
+    os.remove(os.path.join(out, "_lineage", "part-00002.json"))
+    assert completed_partitions(out) == {0, 1, 3}
+    lin2 = run_sharded_extraction(docs, media, out, ShardedOptions(concurrency=2))
+    assert sorted(lin2["partition_id"]) == [2]
+    assert _spans_by_doc(out) == golden
+    # fully-complete output -> no-op with well-formed empty lineage
+    lin3 = run_sharded_extraction(docs, media, out, ShardedOptions(concurrency=2))
+    assert len(lin3) == 0 and "partition_id" in lin3.columns
