@@ -550,3 +550,42 @@ def connected_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
             roots[r] = len(roots) + 1
         remap[lbl] = roots[r]
     return remap[labels], len(roots)
+
+
+# ------------------------------------------------- CTC geometry (P8/P10)
+
+
+def required_width_for_ctc(
+    target_len: int, downsample: int = 32, safety: float = 1.1
+) -> int:
+    """CTC feasibility: T >= 2U-1 => width >= (2U-1)*downsample
+    (train.py:828-830, incl. the 1.1 safety factor)."""
+    return int(((2 * target_len - 1) * downsample) * safety)
+
+
+def pad_to_ctc_safe_width(
+    img: np.ndarray,
+    target_len: int,
+    downsample: int = 32,
+    max_width: int | None = 2048,
+    pad_value: float = 1.0,
+) -> np.ndarray:
+    """Right-pad with background so a ``target_len``-char transcript is
+    CTC-feasible; width rounds up to a multiple of ``downsample`` and
+    clamps at ``max_width`` (train.py:832-844; clamp train.py:310)."""
+    h, w = img.shape
+    need = required_width_for_ctc(target_len, downsample)
+    new_w = max(w, need)
+    new_w = ((new_w + downsample - 1) // downsample) * downsample
+    if max_width is not None:
+        new_w = min(new_w, max_width)
+    if new_w <= w:
+        return img.astype(np.float32)
+    out = np.full((h, new_w), np.float32(pad_value), dtype=np.float32)
+    out[:, :w] = img
+    return out
+
+
+def resize_fixed(img: np.ndarray, out_w: int = 128, out_h: int = 64) -> np.ndarray:
+    """Fixed-size resample (one_dm/laplace4.py:19-20 semantics, P10)."""
+    return resize_bilinear(img, out_h, out_w)
