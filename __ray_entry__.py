@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": R.q_lang_counts,
         "part_brand_stats": R.q_part_brand_stats,
         "events_hourly": R.q_events_hourly,
+        "events_sliding": R.q_events_sliding,
         "sessionize": R.q_sessionize,
         "top_orders_per_segment": R.q_top_orders_per_segment,
         "asof_prev_click": R.q_asof_prev_click,
@@ -419,6 +420,36 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS keeper,
                    COUNT(*) AS n_copies
             FROM documents GROUP BY text ORDER BY text_md5
+        """,
+        "events_sliding": """
+            WITH h AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_bucket,
+                       COUNT(*) AS n_events, SUM(value) AS sum_value
+                FROM events GROUP BY event_type, hour_bucket
+            ), bounds AS (
+                SELECT event_type, max(hour_bucket) AS mx FROM h
+                GROUP BY event_type
+            ), anchors AS (
+                SELECT DISTINCT event_type, hour_bucket FROM (
+                    SELECT event_type, hour_bucket FROM h
+                    UNION ALL
+                    SELECT event_type, hour_bucket + 1 FROM h
+                )
+            )
+            SELECT a.event_type, a.hour_bucket,
+                   COALESCE(c.n_events, 0) + COALESCE(p.n_events, 0)
+                       AS w_events,
+                   ROUND(COALESCE(c.sum_value, 0) + COALESCE(p.sum_value, 0), 2)
+                       AS w_value
+            FROM anchors a
+            JOIN bounds USING (event_type)
+            LEFT JOIN h c ON c.event_type = a.event_type
+                         AND c.hour_bucket = a.hour_bucket
+            LEFT JOIN h p ON p.event_type = a.event_type
+                         AND p.hour_bucket = a.hour_bucket - 1
+            WHERE a.hour_bucket <= mx
+            ORDER BY a.event_type, a.hour_bucket
         """,
         "sessionize": """
             WITH flagged AS (

@@ -486,3 +486,56 @@ def q_distinct_chars(sf_dir: str) -> pd.DataFrame:
     ):
         seen.update(b["ch"])
     return pd.DataFrame({"ch": sorted(seen)})
+
+
+# ------------------------------------------- sliding window aggregate
+
+
+def q_events_sliding(sf_dir: str, window_hours: int = 2) -> pd.DataFrame:
+    """Sliding ``window_hours``-hour window per event_type, stepping
+    hourly: each output row covers (hour_bucket - window + 1 ..
+    hour_bucket]. Built from the tumbling hourly partials (same
+    distributed pre-aggregation as q_events_hourly); the window
+    combine over the tiny per-type bucket series happens vectorized
+    at the fold. Buckets with no events contribute zero (and emit no
+    row of their own) — matching the SQL range-join oracle."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df["hour_bucket"] = (
+            df["ts"].values.astype("datetime64[s]").astype("int64") // 3600
+        )
+        g = df.groupby(["event_type", "hour_bucket"], sort=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return g.reset_index()
+
+    # unrounded hourly partials: rounding happens once, AFTER the
+    # window sum, or boundary sums drift off the oracle at 2 decimals
+    hourly = combine_small_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type", "hour_bucket"],
+        {"n_events": "sum", "sum_value": "sum"},
+    )
+
+    out_frames = []
+    for etype, g in hourly.groupby("event_type", sort=True):
+        g = g.sort_values("hour_bucket").set_index("hour_bucket")
+        # re-index over the full bucket range so gaps contribute zero
+        full = range(int(g.index.min()), int(g.index.max()) + 1)
+        n = g["n_events"].reindex(full, fill_value=0)
+        s = g["sum_value"].reindex(full, fill_value=0.0)
+        roll_n = n.rolling(window_hours, min_periods=1).sum().astype("int64")
+        roll_s = s.rolling(window_hours, min_periods=1).sum().round(2)
+        df = pd.DataFrame(
+            {
+                "event_type": etype,
+                "hour_bucket": list(full),
+                "w_events": roll_n.to_numpy(),
+                "w_value": roll_s.to_numpy(),
+            }
+        )
+        out_frames.append(df[df["w_events"] > 0])
+    out = pd.concat(out_frames, ignore_index=True)
+    return out.sort_values(["event_type", "hour_bucket"]).reset_index(drop=True)
