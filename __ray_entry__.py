@@ -394,7 +394,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_bucket,
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 2) AS sum_value,
-                   ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+                   ROUND(ROUND(SUM(value), 2) / COUNT(*), 6) AS avg_value
             FROM events GROUP BY event_type, hour_bucket
             ORDER BY event_type, hour_bucket
         """,

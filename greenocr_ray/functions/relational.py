@@ -26,6 +26,14 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def round_half_away(x, decimals: int = 6):
+    """DuckDB-compatible ROUND: half away from zero. numpy/pandas
+    round half-to-even, which disagrees with SQL exactly when a value
+    lands on a half (e.g. 30.0465625 at 6 decimals)."""
+    m = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(x) * m + 0.5) / m
+
+
 def combine_small_agg(
     parts: rd.Dataset, keys: list[str], agg: dict[str, str]
 ) -> pd.DataFrame:
@@ -321,8 +329,11 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
         ["event_type", "hour_bucket"],
         {"n_events": "sum", "sum_value": "sum"},
     )
-    out["avg_value"] = (out["sum_value"] / out["n_events"]).round(6)
+    # avg from the ROUNDED sum: the raw float64 sum differs from the
+    # oracle's by summation order in the last ulp, which flips the 6th
+    # decimal at scale; rounding to cents first absorbs it
     out["sum_value"] = out["sum_value"].round(2)
+    out["avg_value"] = round_half_away(out["sum_value"] / out["n_events"], 6)
     return out.sort_values(["event_type", "hour_bucket"]).reset_index(drop=True)
 
 
