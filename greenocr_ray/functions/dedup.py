@@ -143,7 +143,9 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
 def minhash_candidate_pairs(
     docs: rd.Dataset, num_perm: int = 64, bands: int = 16
 ) -> rd.Dataset:
-    """LSH candidate pairs -> (doc_a, doc_b) distinct, doc_a < doc_b."""
+    """LSH candidate pairs -> (doc_a, doc_b) rows, doc_a < doc_b; a
+    pair appears ONCE PER FIRING BAND (dedupe happens driver-side in
+    ``minhash_dedup_pairs``, where the pair count is already small)."""
     sigs = docs.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm},
@@ -227,11 +229,14 @@ class SimHasher:
         self._cache: dict[str, int] = {}
         self._bitpos = np.arange(64, dtype=np.uint64)
 
+    _CACHE_CAP = 500_000  # bound actor memory on high-entropy vocab
+
     def _token_hash(self, t: str) -> int:
         h = self._cache.get(t)
         if h is None:
             h = zlib.crc32(t.encode()) | (zlib.crc32(t[::-1].encode()) << 32)
-            self._cache[t] = h
+            if len(self._cache) < self._CACHE_CAP:
+                self._cache[t] = h
         return h
 
     def simhash(self, text: str) -> int:

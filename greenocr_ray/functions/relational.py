@@ -548,5 +548,9 @@ def q_events_sliding(sf_dir: str, window_hours: int = 2) -> pd.DataFrame:
             }
         )
         out_frames.append(df[df["w_events"] > 0])
+    if not out_frames:  # empty events table -> empty result, like SQL
+        return pd.DataFrame(
+            columns=["event_type", "hour_bucket", "w_events", "w_value"]
+        )
     out = pd.concat(out_frames, ignore_index=True)
     return out.sort_values(["event_type", "hour_bucket"]).reset_index(drop=True)

@@ -18,6 +18,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from .relational import round_half_away as _round_half_away
+
 
 def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = batch.column("vec_id").to_numpy()
@@ -66,7 +68,7 @@ def knn_cosine(
     return pd.DataFrame(
         {
             "vec_id": [t[0] for t in top],
-            "cos_sim": [round(t[1], 6) for t in top],
+            "cos_sim": [float(_round_half_away(t[1], 6)) for t in top],
         }
     )
 
@@ -147,6 +149,12 @@ def embedding_near_dup_pairs(
         i, m = _batch_matrix(b)
         ids_all.append(i)
         mats.append(m)
+    if not ids_all:  # empty embeddings table -> empty pair frame
+        return pd.DataFrame(
+            {"vec_a": pd.Series([], dtype="int64"),
+             "vec_b": pd.Series([], dtype="int64"),
+             "cos_sim": pd.Series([], dtype="float64")}
+        )
     ids = np.concatenate(ids_all)
     m = np.concatenate(mats).astype(np.float64)
     norms = np.linalg.norm(m, axis=1, keepdims=True)
@@ -175,7 +183,10 @@ def embedding_near_dup_pairs(
             {
                 "vec_a": pd.Series(out_a, dtype="int64"),
                 "vec_b": pd.Series(out_b, dtype="int64"),
-                "cos_sim": pd.Series(np.round(out_s, 6), dtype="float64"),
+                # half-away rounding matches DuckDB ROUND (numpy
+                # rounds half-to-even; diverges exactly on 6th-decimal
+                # halves, the events_hourly-at-scale failure class)
+                "cos_sim": pd.Series(_round_half_away(out_s, 6), dtype="float64"),
             }
         )
 

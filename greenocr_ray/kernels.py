@@ -411,25 +411,36 @@ def estimate_skew(
             acc[s : s + h] += csum[:, b] - csum[:, a]
         return float(np.var(acc))
 
-    # closed-form centroid seed kills the coarse grid: one O(H*W) pass
-    # lands within ~0.2° of the optimum, then a short variance-max fine
-    # scan around it keeps the search's robustness to descender noise.
+    # closed-form centroid seed: one O(H*W) pass usually lands within
+    # ~0.2° of the optimum on single-line images — but multi-line or
+    # uneven-line-length images can pull the centroid fit arbitrarily
+    # far off, so the seed only JOINS a sparse 1° coarse grid rather
+    # than replacing it; the variance-max fine scan then refines
+    # around whichever candidate scores best. (~2x fewer score() calls
+    # than the original 0.5° grid, robust to a bad seed.)
     # (`estimate_skew_centroid` returns the skew; the aligning shear is
     # its negation, which is the domain `score` works in.)
     seed = float(np.clip(-estimate_skew_centroid(ink), -max_angle, max_angle))
     seed = round(seed / fine_step) * fine_step
-    best = seed
-    best_s = score(seed)
-    span = 3  # ±3 fine steps around the seed
-    for k in range(-span, span + 1):
-        if k == 0:
-            continue
-        a = seed + k * fine_step
-        if abs(a) > max_angle + 1e-9:
-            continue
+    candidates = [seed]
+    a = -max_angle
+    while a <= max_angle + 1e-9:
+        candidates.append(round(a, 6))
+        a += 2 * coarse_step
+    best = candidates[0]
+    best_s = -np.inf
+    for c in candidates:
+        s = score(c)
+        if s > best_s:
+            best_s, best = s, c
+    lo = max(best - coarse_step, -max_angle)
+    hi = min(best + coarse_step, max_angle)
+    a = lo
+    while a <= hi + 1e-9:
         s = score(a)
         if s > best_s:
             best_s, best = s, a
+        a += fine_step
     # `best` is the rotation that ALIGNS the ink (the correction); the
     # skew of the input is its negation: rotate(img, -estimate_skew(img))
     # deskews.

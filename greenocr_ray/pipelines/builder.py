@@ -56,8 +56,8 @@ class SpanPipeline:
         batch_format: str = "pyarrow",
     ) -> "SpanPipeline":
         """Append a stage. Classes become actor pools (``concurrency``
-        required); functions become task pools (``concurrency`` must
-        stay None, matching Ray Data's contract)."""
+        defaults to a small autoscaling pool); functions become task
+        pools, where ``concurrency`` caps concurrent tasks."""
         is_cls = inspect.isclass(fn)
         if is_cls and concurrency is None:
             concurrency = (1, 4)
@@ -85,8 +85,11 @@ class SpanPipeline:
                 kwargs["batch_size"] = s.batch_size
             if s.num_cpus is not None:
                 kwargs["num_cpus"] = s.num_cpus
-            if inspect.isclass(s.fn):
+            # concurrency applies to BOTH stage kinds: actor-pool size
+            # for classes, max concurrent tasks for plain functions
+            if s.concurrency is not None:
                 kwargs["concurrency"] = s.concurrency
+            if inspect.isclass(s.fn):
                 if s.constructor_kwargs:
                     kwargs["fn_constructor_kwargs"] = s.constructor_kwargs
             ds = ds.map_batches(s.fn, **kwargs)

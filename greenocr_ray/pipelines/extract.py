@@ -30,6 +30,7 @@ import ray.data as rd
 from ..sources.storage import read_table
 from ..stages.clean_text import clean_text_spans
 from ..stages.explode import assemble_group, explode_spans
+from ..state.lineage import check_run_meta
 from ..stages.join import join_ocr_results
 from ..stages.ocr import OCR_BATCH_SIZE, OcrMediaActor
 from ..state.lineage import (
@@ -138,11 +139,13 @@ def run_extraction(
     partitions processed in THIS run (already-done partitions are
     skipped before execution)."""
     opts = opts or ExtractOptions()
+    check_run_meta(out_dir, opts.n_parts)  # refuse n_parts mismatch
     done = completed_partitions(out_dir)
     if len(done) >= opts.n_parts:
         # nothing left: every partition has a 'done' lineage record
         return empty_lineage()
     docs = read_table(documents_uri)
+    media = read_table(media_uri)
     if done:
         done_set = frozenset(done)
         n_parts = opts.n_parts
@@ -153,7 +156,35 @@ def run_extraction(
             return t.filter(keep)
 
         docs = docs.map_batches(drop_done, batch_format="pyarrow")
-    media = read_table(media_uri)
+
+        # resume economy: only OCR payloads the REMAINING docs still
+        # reference. The needed-ref set is proportional to the pending
+        # fraction (resumes are typically mostly-done), so collecting
+        # it to the driver and broadcasting is the small-side pattern —
+        # without it, the media-table OCR pass would redo 100% of the
+        # dominant work and discard it at the join.
+        import ray
+
+        needed = set()
+        for b in (
+            docs.map_batches(explode_spans, batch_format="pyarrow")
+            .map_batches(
+                lambda t: t.filter(
+                    pc.equal(t.column("kind"), "media")
+                ).select(["media_ref"]),
+                batch_format="pyarrow",
+            )
+            .iter_batches(batch_format="pyarrow")
+        ):
+            needed.update(b.column("media_ref").to_pylist())
+        needed_ref = ray.put(frozenset(needed))
+
+        def only_needed(t: pa.Table) -> pa.Table:
+            want = ray.get(needed_ref)
+            refs = t.column("media_ref").to_pylist()
+            return t.filter(pa.array([r in want for r in refs]))
+
+        media = media.map_batches(only_needed, batch_format="pyarrow")
     out = extract_flat(docs, media, opts)
 
     n_parts = opts.n_parts

@@ -53,7 +53,7 @@ import ray.data as rd
 from ..recognize import Recognizer
 from ..stages.clean_text import clean_text_spans
 from ..stages.explode import explode_spans
-from ..state.lineage import completed_partitions
+from ..state.lineage import check_run_meta, completed_partitions
 
 
 @dataclass
@@ -90,19 +90,19 @@ def plan_shards(documents_uri: str, groups_per_shard: int = 1) -> list[ShardSpec
         while rg < md.num_row_groups:
             end = min(rg + groups_per_shard, md.num_row_groups)
             stats = [md.row_group(i).column(doc_idx).statistics for i in range(rg, end)]
-            if any(s is None or not s.has_min_max for s in stats):
-                raise ValueError(
-                    f"{f} row groups {rg}:{end} lack doc_id min/max stats; "
-                    "co-partitioned planning needs them (write with stats on)"
-                )
+            # doc_id bounds are informational (plan inspection, tests);
+            # extraction reads whole row groups and derives its media
+            # range from the actual refs, so missing stats (a legal
+            # parquet writer choice) degrade gracefully to "".
+            has = [s for s in stats if s is not None and s.has_min_max]
             shards.append(
                 ShardSpec(
                     shard_id=sid,
                     doc_file=f,
                     row_group_start=rg,
                     row_group_end=end,
-                    doc_lo=min(s.min for s in stats),
-                    doc_hi=max(s.max for s in stats),
+                    doc_lo=min((s.min for s in has), default=""),
+                    doc_hi=max((s.max for s in has), default=""),
                 )
             )
             sid += 1
@@ -269,6 +269,9 @@ def run_sharded_extraction(
     shards processed in THIS run (done shards skipped up front)."""
     opts = opts or ShardedOptions()
     shards = plan_shards(documents_uri, opts.groups_per_shard)
+    # shard ids are positional in the plan: refuse a resume whose plan
+    # arity changed (different groups_per_shard / input layout)
+    check_run_meta(out_dir, len(shards))
     done = completed_partitions(out_dir)
     todo = [s for s in shards if s.shard_id not in done]
     if not todo:

@@ -58,6 +58,29 @@ def partition_ids(doc_ids: list[str], n_parts: int) -> np.ndarray:
     )
 
 
+def check_run_meta(out_dir: str, n_parts: int) -> None:
+    """Persist the partitioner arity on first run; refuse a resume with
+    a different ``n_parts`` — the hash partitioner would assign docs to
+    different partitions and 'len(done) >= n_parts' could silently
+    declare an incomplete job finished."""
+    meta_path = os.path.join(out_dir, "_lineage", "_meta.json")
+    os.makedirs(os.path.dirname(meta_path), exist_ok=True)
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if int(meta.get("n_parts", n_parts)) != n_parts:
+            raise ValueError(
+                f"resume with n_parts={n_parts} against an output dir "
+                f"written with n_parts={meta['n_parts']} ({out_dir}); "
+                "use the original n_parts or a fresh out_dir"
+            )
+        return
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"n_parts": int(n_parts)}, fh)
+    os.replace(tmp, meta_path)
+
+
 def completed_partitions(out_dir: str) -> set[int]:
     lin = os.path.join(out_dir, "_lineage")
     if not os.path.isdir(lin):
@@ -77,7 +100,7 @@ def read_lineage(out_dir: str) -> pd.DataFrame:
     rows = []
     if os.path.isdir(lin):
         for f in sorted(os.listdir(lin)):
-            if f.endswith(".json"):
+            if f.startswith("part-") and f.endswith(".json"):
                 with open(os.path.join(lin, f)) as fh:
                     rows.append(json.load(fh))
     return pd.DataFrame(rows)
