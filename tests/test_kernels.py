@@ -122,3 +122,24 @@ def test_gaussian_blur_preserves_mean(sigma):
     img = np.random.default_rng(3).random((20, 30)).astype(np.float32)
     out = kernels.gaussian_blur(img, sigma)
     assert abs(out.mean() - img.mean()) < 0.01
+
+
+def test_estimate_skew_multiline_uneven():
+    """Multi-line page with a short second line: the centroid seed is
+    pulled far off (>0.3 deg) and only the coarse-grid candidates
+    recover the true angle — the regression class where a seed-only
+    fine scan returned sign-flipped skews."""
+    from greenocr_ray.glyphs import render_line
+
+    l1 = render_line("the quick brown fox jumps")
+    l2 = render_line("over it")
+    H = l1.shape[0] + l2.shape[0] + 20
+    W = max(l1.shape[1], l2.shape[1]) + 40
+    for true_skew in (3.0, -2.5):
+        img = np.ones((H, W), dtype=np.float32)
+        img[5 : 5 + l1.shape[0], 10 : 10 + l1.shape[1]] = l1
+        img[10 + l1.shape[0] : 10 + l1.shape[0] + l2.shape[0], 10 : 10 + l2.shape[1]] = l2
+        pad = np.pad(img, 40, constant_values=np.float32(1.0))
+        rot = kernels.rotate(pad, true_skew, fill=1.0)
+        est = kernels.estimate_skew(rot)
+        assert abs(est - true_skew) < 0.35, (true_skew, est)
