@@ -423,10 +423,15 @@ def estimate_skew(
     seed = float(np.clip(-estimate_skew_centroid(ink), -max_angle, max_angle))
     seed = round(seed / fine_step) * fine_step
     candidates = [seed]
-    a = -max_angle
-    while a <= max_angle + 1e-9:
-        candidates.append(round(a, 6))
-        a += 2 * coarse_step
+    # single-LINE strips (the reference's data model: height-normalized
+    # 64 px lines, exe_t.py:71-72) cannot hold a second text line, so
+    # the centroid seed is reliable and the coarse grid is skipped;
+    # page-height images keep the full grid for multi-line robustness
+    if img.shape[0] > 96:
+        a = -max_angle
+        while a <= max_angle + 1e-9:
+            candidates.append(round(a, 6))
+            a += 2 * coarse_step
     best = candidates[0]
     best_s = -np.inf
     for c in candidates:
