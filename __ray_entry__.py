@@ -156,6 +156,20 @@ def _q_dedup_exact(sf_dir: str) -> Any:
     )
 
 
+def _q_dedup_filter(sf_dir: str) -> Any:
+    """Corpus with duplicate-text docs dropped (keep min doc_id) —
+    the G7 take-first filter as a dataset-to-dataset operator."""
+    import ray.data as rd
+
+    from greenocr_ray.functions.dedup import exact_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = exact_dedup(ds).to_pandas()
+    return (
+        out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def _q_minhash_pairs(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -312,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         # dedup
         "dedup_exact": _q_dedup_exact,
+        "dedup_filter": _q_dedup_filter,
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -510,6 +525,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.35
             ORDER BY vec_a, vec_b
+        """,
+        "dedup_filter": """
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY text ORDER BY doc_id)
+                           AS rn
+                FROM documents
+            ) WHERE rn = 1 ORDER BY doc_id
         """,
         "knn_cosine": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e
