@@ -139,19 +139,3 @@ def render_line(text: str, scale: int = SCALE) -> np.ndarray:
     return np.where(big, np.float32(0.0), np.float32(1.0))
 
 
-def match_glyph(
-    cell: np.ndarray, flat_atlas: np.ndarray, chars: str
-) -> tuple[str, float]:
-    """Classify one glyph cell against the atlas.
-
-    ``cell`` is a (GLYPH_H, GLYPH_W) float ink-fraction grid in [0,1];
-    ``flat_atlas`` is (n_chars, GLYPH_H*GLYPH_W) float32 ±1 templates.
-    Returns (char, confidence) where confidence is the normalized
-    correlation of the best match — this feeds the pipeline's
-    ``mean_confidence`` metric (the analog of the reference's
-    log-softmax score, exe_t.py:520-523).
-    """
-    v = (cell.astype(np.float32) * 2.0 - 1.0).ravel()
-    scores = flat_atlas @ v / flat_atlas.shape[1]
-    k = int(np.argmax(scores))
-    return chars[k], float(scores[k])

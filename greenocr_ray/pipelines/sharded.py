@@ -52,7 +52,7 @@ import ray.data as rd
 
 from ..recognize import Recognizer
 from ..stages.clean_text import clean_text_spans
-from ..stages.explode import explode_spans
+from ..stages.explode import assemble_docs, explode_spans
 from ..state.lineage import check_run_meta, completed_partitions
 
 
@@ -144,9 +144,12 @@ class ShardExtractor:
         px = tbl.column("pixels").to_pylist()
         for i, ref in enumerate(refs):
             raw = px[i]
-            w, h = int(ws[i]), int(hs[i])
-            if raw is None or len(raw) != w * h:
+            if raw is None or not (np.isfinite(ws[i]) and np.isfinite(hs[i])):
                 out[ref] = ("", 0.0)  # skip-and-continue semantics
+                continue
+            w, h = int(ws[i]), int(hs[i])
+            if len(raw) != w * h:
+                out[ref] = ("", 0.0)
                 continue
             img = (
                 np.frombuffer(raw, dtype=np.uint8).reshape(h, w).astype(np.float32)
@@ -198,19 +201,8 @@ class ShardExtractor:
             rows["media_ref"].append(r)
             rows["confidence"].append(hit[1])
 
-        df = pd.DataFrame(rows).sort_values(["doc_id", "offset"])
-        doc_ids, span_lists, confs = [], [], []
-        for doc_id, dg in df.groupby("doc_id", sort=True):
-            doc_ids.append(doc_id)
-            span_lists.append(
-                [
-                    {"kind": k, "text": t, "media_ref": m, "offset": int(o)}
-                    for k, t, m, o in zip(
-                        dg["kind"], dg["text"], dg["media_ref"], dg["offset"]
-                    )
-                ]
-            )
-            confs.append(float(dg["confidence"].mean()))
+        df = pd.DataFrame(rows)
+        doc_ids, span_lists, confs = assemble_docs(df)
         table = pa.table(
             {
                 "doc_id": pa.array(doc_ids, type=pa.string()),
@@ -223,14 +215,15 @@ class ShardExtractor:
         pq.write_table(table, tmp)
         os.replace(tmp, final)  # atomic, then lineage LAST
         wall_ms = (time.monotonic() - t0) * 1000.0
+        real = df[df["offset"] >= 0]  # exclude empty-doc placeholders
         rec = {
             "partition_id": s.shard_id,
             "n_docs": len(doc_ids),
-            "n_spans": int(len(df)),
+            "n_spans": int(len(real)),
             "n_media": int(n_media - dropped),
             "wall_ms": wall_ms,
-            "spans_per_sec": len(df) / max(wall_ms / 1000.0, 1e-9),
-            "mean_confidence": float(df["confidence"].mean()) if len(df) else 0.0,
+            "spans_per_sec": len(real) / max(wall_ms / 1000.0, 1e-9),
+            "mean_confidence": float(real["confidence"].mean()) if len(real) else 0.0,
             "status": "done",
         }
         import json

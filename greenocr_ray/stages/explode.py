@@ -2,8 +2,15 @@
 
 ``explode_spans`` unnests documents(doc_id, spans:list<struct>) into
 flat span rows with ``pyarrow.compute`` (no Python row loop);
-``assemble_spans`` is the inverse, used by the per-doc reassembly
-groupby (SURVEY.md §2.6 ordering contract: spans sort by offset).
+``assemble_docs`` is the inverse, the SINGLE implementation of the
+§2.6 ordering contract (spans sort by offset) shared by the streaming
+reassembly, the checkpointed partition writer, and the sharded path.
+
+Documents whose spans list is empty (or null) would emit no flat rows
+and silently vanish from the output; ``explode_spans`` therefore emits
+one PLACEHOLDER row per such doc (offset = -1), which flows through
+the text branch untouched and is dropped again at assembly — the doc
+reappears in the output with spans == [].
 """
 
 from __future__ import annotations
@@ -12,6 +19,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+EMPTY_DOC_OFFSET = -1  # placeholder spans; dropped at assembly
 
 
 def explode_spans(batch: pa.Table) -> pa.Table:
@@ -22,7 +31,7 @@ def explode_spans(batch: pa.Table) -> pa.Table:
     parent = pc.list_parent_indices(spans)
     doc_ids = pc.take(batch.column("doc_id"), parent)
     flat = pc.list_flatten(spans)
-    return pa.table(
+    out = pa.table(
         {
             "doc_id": doc_ids,
             "offset": flat.field("offset"),
@@ -31,28 +40,61 @@ def explode_spans(batch: pa.Table) -> pa.Table:
             "media_ref": flat.field("media_ref"),
         }
     )
+    # placeholder rows for span-less docs so they survive reassembly
+    lengths = pc.fill_null(pc.list_value_length(spans), 0).to_numpy()
+    if (lengths == 0).any():
+        empty_ids = batch.column("doc_id").filter(pa.array(lengths == 0))
+        n = len(empty_ids)
+        offset_type = out.schema.field("offset").type  # match input's width
+        placeholder = pa.table(
+            {
+                "doc_id": empty_ids,
+                "offset": pa.array(
+                    np.full(n, EMPTY_DOC_OFFSET, dtype=np.int64)
+                ).cast(offset_type),
+                "kind": pa.array(["text"] * n, type=pa.string()),
+                "text": pa.array([""] * n, type=pa.string()),
+                "media_ref": pa.array([""] * n, type=pa.string()),
+            }
+        )
+        out = pa.concat_tables([out, placeholder])
+    return out
+
+
+def assemble_docs(
+    df: pd.DataFrame,
+) -> tuple[list[str], list[list[dict]], list[float]]:
+    """Flat span rows -> per-doc (doc_ids, span_lists, mean_confidences),
+    docs sorted by doc_id, spans sorted by offset — THE ordering
+    contract (span-sequence equality on (kind, text, media_ref,
+    order)). Placeholder rows keep their doc present with spans == []
+    and confidence 0.0."""
+    df = df.sort_values(["doc_id", "offset"])
+    doc_ids: list[str] = []
+    span_lists: list[list[dict]] = []
+    confs: list[float] = []
+    for doc_id, dg in df.groupby("doc_id", sort=True):
+        real = dg[dg["offset"] >= 0]
+        doc_ids.append(doc_id)
+        span_lists.append(
+            [
+                {"kind": k, "text": t, "media_ref": m, "offset": int(o)}
+                for k, t, m, o in zip(
+                    real["kind"], real["text"], real["media_ref"], real["offset"]
+                )
+            ]
+        )
+        confs.append(float(real["confidence"].mean()) if len(real) else 0.0)
+    return doc_ids, span_lists, confs
 
 
 def assemble_group(g: pd.DataFrame) -> pd.DataFrame:
-    """map_groups fn: one doc's flat spans -> one (doc_id, spans) row.
-
-    Sorts by offset — the single ordering contract of the output
-    (span-sequence equality on (kind, text, media_ref, order)).
-    """
-    g = g.sort_values("offset")
-    spans = [
-        {
-            "kind": k,
-            "text": t,
-            "media_ref": m,
-            "offset": int(o),
-        }
-        for k, t, m, o in zip(g["kind"], g["text"], g["media_ref"], g["offset"])
-    ]
+    """map_groups fn: one doc's flat spans -> one (doc_id, spans) row."""
+    doc_ids, span_lists, confs = assemble_docs(g)
     return pd.DataFrame(
         {
-            "doc_id": [g["doc_id"].iloc[0]],
-            "spans": [spans],
-            "mean_confidence": [float(np.mean(g["confidence"]))],
+            "doc_id": doc_ids,
+            "spans": span_lists,
+            "mean_confidence": confs,
         }
     )

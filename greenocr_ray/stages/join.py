@@ -167,40 +167,9 @@ def _generic_bucketed_join(
 def _bucketed_join(
     media_spans: rd.Dataset, media: rd.Dataset, nbuckets: int
 ) -> rd.Dataset:
-    def tag(side: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            refs = batch.column("media_ref").to_pylist()
-            return batch.append_column(
-                "bucket", pa.array(_crc_bucket(refs, nbuckets), type=pa.int32())
-            ).append_column("side", pa.array([side] * batch.num_rows))
-
-        return fn
-
-    left = media_spans.map_batches(tag("L"), batch_format="pyarrow")
-    right = media.map_batches(tag("R"), batch_format="pyarrow")
-
-    def join_group(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["side"] == "L"]
-        rg = g[g["side"] == "R"]
-        out = lg.merge(
-            rg[["media_ref", "width", "height", "pixels"]], on="media_ref", how="inner"
-        )
-        return out.drop(columns=["bucket", "side"])
-
-    # union of heterogenous schemas: align by filling missing columns
-    def pad(cols: list[str]):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            for c in cols:
-                if c not in df.columns:
-                    df[c] = None
-            return df
-
-        return fn
-
-    all_cols = ["doc_id", "offset", "kind", "text", "media_ref", "width",
-                "height", "pixels", "bucket", "side"]
-    left = left.map_batches(pad(all_cols), batch_format="pandas")
-    right = right.map_batches(pad(all_cols), batch_format="pandas")
-    return left.union(right).groupby("bucket").map_groups(
-        join_group, batch_format="pandas"
+    """Pre-2.46 fallback for the payload join; delegates to the shared
+    bucketed-join (its drop-before-merge avoids the pandas _x/_y
+    suffixing a padded-columns merge would produce)."""
+    return _generic_bucketed_join(
+        media_spans, media, ["width", "height", "pixels"], nbuckets
     )

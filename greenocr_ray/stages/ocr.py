@@ -42,10 +42,17 @@ class _RecognizerBase:
         confs = np.zeros(batch.num_rows, dtype=np.float64)
         for i in range(batch.num_rows):
             raw = pixels[i]
+            # skip-and-log semantics (exe_t.py:319-336): emit an empty
+            # OCR span rather than failing the partition. Null dims
+            # arrive as NaN through to_numpy — guard BEFORE int().
+            if raw is None or not (
+                np.isfinite(widths[i]) and np.isfinite(heights[i])
+            ):
+                texts.append("")
+                confs[i] = 0.0
+                continue
             w, h = int(widths[i]), int(heights[i])
-            if raw is None or len(raw) != w * h:
-                # skip-and-log semantics (exe_t.py:319-336): emit an
-                # empty OCR span rather than failing the partition
+            if len(raw) != w * h:
                 texts.append("")
                 confs[i] = 0.0
                 continue

@@ -117,23 +117,11 @@ class PartitionWriter:
         os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.explode import assemble_docs
+
         t0 = time.monotonic()
         pid = int(g["part_id"].iloc[0])
-        g = g.sort_values(["doc_id", "offset"])
-        doc_ids: list[str] = []
-        span_lists: list[list[dict]] = []
-        confs: list[float] = []
-        for doc_id, dg in g.groupby("doc_id", sort=True):
-            doc_ids.append(doc_id)
-            span_lists.append(
-                [
-                    {"kind": k, "text": t, "media_ref": m, "offset": int(o)}
-                    for k, t, m, o in zip(
-                        dg["kind"], dg["text"], dg["media_ref"], dg["offset"]
-                    )
-                ]
-            )
-            confs.append(float(dg["confidence"].mean()))
+        doc_ids, span_lists, confs = assemble_docs(g)
         table = pa.table(
             {
                 "doc_id": pa.array(doc_ids, type=pa.string()),
@@ -147,6 +135,7 @@ class PartitionWriter:
         pq.write_table(table, tmp)
         os.replace(tmp, final)  # atomic
         wall_ms = (time.monotonic() - t0) * 1000.0
+        g = g[g["offset"] >= 0]  # exclude empty-doc placeholders from stats
         n_spans = int(len(g))
         rec = {
             "partition_id": pid,
@@ -155,7 +144,7 @@ class PartitionWriter:
             "n_media": int((g["kind"] == "ocr").sum()),
             "wall_ms": wall_ms,
             "spans_per_sec": n_spans / max(wall_ms / 1000.0, 1e-9),
-            "mean_confidence": float(g["confidence"].mean()),
+            "mean_confidence": float(g["confidence"].mean()) if len(g) else 0.0,
             "status": "done",
         }
         lin_final = os.path.join(self.out_dir, "_lineage", f"part-{pid:05d}.json")

@@ -73,3 +73,44 @@ def test_extract_handles_missing_payload():
     out = extract_dataset(rd.from_arrow(docs), rd.from_arrow(media)).to_pandas()
     assert len(out) == 1
     assert spans_key(out["spans"][0]) == [("text", "hi there", "", 0)]
+
+
+def test_empty_spans_doc_preserved_and_null_dims_skipped(ray_session):
+    """Docs with spans == [] must survive to the output (spans == []),
+    and a null width/height media payload yields an empty OCR span
+    rather than a crashed partition (skip-and-continue)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from greenocr_ray.pipelines.extract import ExtractOptions, extract_dataset
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": ["d-empty", "d-nanw"],
+                "spans": [
+                    [],
+                    [{"kind": "media", "text": "", "media_ref": "m1", "offset": 0}],
+                ],
+            }
+        )
+    )
+    media = rd.from_arrow(
+        pa.table(
+            {
+                "media_ref": ["m1"],
+                "width": pa.array([None], type=pa.int32()),
+                "height": pa.array([60], type=pa.int32()),
+                "pixels": pa.array([b"\x00" * 100], type=pa.binary()),
+            }
+        )
+    )
+    res = (
+        extract_dataset(docs, media, ExtractOptions(ocr_concurrency=(1, 2)))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert sorted(res.index) == ["d-empty", "d-nanw"]
+    assert list(res.loc["d-empty", "spans"]) == []
+    spans = list(res.loc["d-nanw", "spans"])
+    assert [(s["kind"], s["text"]) for s in spans] == [("ocr", "")]
