@@ -341,15 +341,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
+            -- intermediate ROUND at the sums' exact decimal precision
+            -- (inputs have 2 decimals -> sums exact at 4; the charge
+            -- product at 6) absorbs summation-order float ulps before
+            -- the reported rounding, matching the engine's formula
             SELECT l_returnflag, l_linestatus,
-                   ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   ROUND(ROUND(SUM(l_quantity), 4), 2) AS sum_qty,
+                   ROUND(ROUND(SUM(l_extendedprice), 4), 2) AS sum_base_price,
+                   ROUND(ROUND(SUM(l_extendedprice * (1 - l_discount)), 4), 2) AS sum_disc_price,
+                   ROUND(ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6), 2) AS sum_charge,
                    COUNT(*) AS count_order,
-                   ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
-                   ROUND(SUM(l_extendedprice) / COUNT(*), 6) AS avg_price,
-                   ROUND(SUM(l_discount) / COUNT(*), 6) AS avg_disc
+                   ROUND(ROUND(SUM(l_quantity), 4) / COUNT(*), 6) AS avg_qty,
+                   ROUND(ROUND(SUM(l_extendedprice), 4) / COUNT(*), 6) AS avg_price,
+                   ROUND(ROUND(SUM(l_discount), 4) / COUNT(*), 6) AS avg_disc
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus

@@ -113,11 +113,26 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
             "count_order": "sum",
         },
     )
-    out["avg_qty"] = (out["sum_qty"] / out["count_order"]).round(6)
-    out["avg_price"] = (out["sum_base_price"] / out["count_order"]).round(6)
-    out["avg_disc"] = (out["sum_disc"] / out["count_order"]).round(6)
+    # the monetary inputs carry exactly 2 decimals, so every sum is
+    # EXACT at 4 decimals (6 for the tax-on-discount charge); rounding
+    # there first absorbs the summation-order ulps that otherwise flip
+    # a 2-decimal half boundary vs the oracle, then round half-away
+    # (DuckDB ROUND semantics) to the reported precision
+    for c, d in (
+        ("sum_qty", 4),
+        ("sum_base_price", 4),
+        ("sum_disc_price", 4),
+        ("sum_charge", 6),
+        ("sum_disc", 4),
+    ):
+        out[c] = round_half_away(out[c], d)
+    out["avg_qty"] = round_half_away(out["sum_qty"] / out["count_order"], 6)
+    out["avg_price"] = round_half_away(
+        out["sum_base_price"] / out["count_order"], 6
+    )
+    out["avg_disc"] = round_half_away(out["sum_disc"] / out["count_order"], 6)
     for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
-        out[c] = out[c].round(2)
+        out[c] = round_half_away(out[c], 2)
     out = out.drop(columns=["sum_disc"])
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
