@@ -131,8 +131,13 @@ def main() -> None:
         out_dir2 = f"/tmp/greenocr_bench/outs_{num_cpus}"
         shutil.rmtree(out_dir2, ignore_errors=True)
         opts = ExtractOptions(
-            n_parts=max(num_cpus, 16),
-            join_partitions=max(num_cpus, 16),
+            # 16 shuffle partitions regardless of cpu count: every
+            # extra hash-shuffle partition adds aggregator-actor fixed
+            # cost; at this data size 32/32 ran 25-36s vs a stable
+            # ~18s at 16/16 (real deployments size these to data, not
+            # to cores)
+            n_parts=16,
+            join_partitions=16,
             # pool floor skips autoscaling ramp-up, but must stay below
             # num_cpus or the floor actors reserve every CPU and starve
             # the read tasks that feed them (observed deadlock at 8 cpus)
