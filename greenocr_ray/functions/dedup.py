@@ -69,6 +69,10 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
+# ~5M band rows = ~100 MB with ids: below this a driver fold beats the
+# shuffle's fixed actor cost; above it the hash shuffle is the scale path
+_BAND_ROWS_DRIVER_LIMIT = 5_000_000
+
 
 class MinHasher:
     """Stateful shingler+minhasher: permutation coefficients are built
@@ -164,6 +168,30 @@ def minhash_candidate_pairs(
                                  "doc_b": pd.Series([], dtype="int64")})
         return pd.DataFrame(out, columns=["doc_a", "doc_b"])
 
+    # adaptive strategy: the band rows are 20 bytes each — when the
+    # whole banded table is small (sub-~100 MB), a Ray groupby pays
+    # seconds of shuffle-actor fixed cost to co-locate megabytes, so
+    # stream the rows to the driver and bucket with one pandas groupby
+    # instead. Past the threshold, the genuine hash shuffle takes over
+    # (the scale path: pairwise work only ever happens inside buckets).
+    banded = banded.materialize()  # count + fetch without re-executing
+    n_rows = banded.count()
+    if n_rows <= _BAND_ROWS_DRIVER_LIMIT:
+        df = banded.to_pandas()
+        frames = [
+            pairs_in_bucket(g)
+            for _, g in df.groupby(["band_id", "band_hash"], sort=False)
+            if len(g) > 1
+        ]
+        out = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64")}
+            )
+        )
+        return rd.from_pandas(out)
     cand = banded.groupby(["band_id", "band_hash"]).map_groups(
         pairs_in_bucket, batch_format="pandas"
     )
