@@ -46,6 +46,19 @@ def exact_dedup_groups(docs: rd.Dataset) -> rd.Dataset:
         return g.rename(columns={"min": "keeper", "size": "n_copies"}).reset_index()
 
     parts = hashed.map_batches(partial, batch_format="pyarrow")
+    # adaptive combine (same policy as minhash candidate generation):
+    # partial rows are ~50 bytes each, so below the threshold a driver
+    # fold beats the shuffle's fixed actor cost; past it the hash
+    # shuffle is the scale path (keys are data-sized)
+    parts = parts.materialize()
+    if parts.count() <= _BAND_ROWS_DRIVER_LIMIT:
+        df = parts.to_pandas()
+        out = (
+            df.groupby("text_md5", sort=False)
+            .agg(keeper=("keeper", "min"), n_copies=("n_copies", "sum"))
+            .reset_index()
+        )
+        return rd.from_pandas(out)
     from ray.data.aggregate import Min, Sum
 
     return parts.groupby("text_md5").aggregate(
