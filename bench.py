@@ -5,10 +5,11 @@ over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1); prints ONE JSON
 line: {"metric", "value" (headline extraction seconds), "unit",
 "queries" (per-query seconds), "sf", "num_cpus", "docs_per_sec", ...}.
 
-``--scaling``: runs the plain bench twice in fresh subprocesses at
-num_cpus=8 and num_cpus=32 on the same input (the sandbox stand-in for
-the N / 4N node clusters of the north rule) and prints throughput at
-both plus scaling efficiency = (t_8 / t_32) / 4.
+``--scaling``: runs the headline pipeline twice in fresh subprocesses
+at num_cpus=4 and num_cpus=16 on the same input (the sandbox stand-in
+for the N / 4N node clusters of the north rule; see the leg-choice
+comment in scaling_main) and prints throughput at both plus scaling
+efficiency = (t_lo / t_hi) / 4.
 """
 
 from __future__ import annotations
@@ -105,8 +106,14 @@ def main() -> None:
     paths = build_interleaved(sf_dir, corpus_dir, repeat=repeat)
     n_docs = pq.read_table(paths["documents"], columns=["doc_id"]).num_rows
     # warm the page cache (+ Ray worker prestart) so the timed run
-    # measures compute + exchange, not cold I/O
-    rd.read_parquet(paths["media"]).count()
+    # measures compute + exchange, not cold I/O. A bare .count() is a
+    # no-op (Ray answers it from parquet footers); the map_batches
+    # forces every block through a real read task.
+    import pyarrow as _pa
+
+    rd.read_parquet(paths["media"]).map_batches(
+        lambda t: _pa.table({"n": [t.num_rows]}), batch_format="pyarrow"
+    ).count()
 
     # ---- headline: co-partitioned shard extraction (zero-shuffle
     # fast path; the layout build_interleaved produces), checkpointed
@@ -179,7 +186,15 @@ def main() -> None:
         "n_docs": int(n_docs),
         "docs_per_sec": round(n_docs / headline, 2),
         "n_media": int(lineage["n_media"].sum()),
-        "mean_confidence": round(float(lineage["mean_confidence"].mean()), 4),
+        # span-weighted: an unweighted mean over shards overweights
+        # media-light tail shards
+        "mean_confidence": round(
+            float(
+                (lineage["mean_confidence"] * lineage["n_spans"]).sum()
+                / max(int(lineage["n_spans"].sum()), 1)
+            ),
+            4,
+        ),
     }
     if streaming is not None:
         result["streaming_sec"] = round(streaming, 3)

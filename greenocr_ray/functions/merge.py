@@ -58,10 +58,15 @@ def states_to_dataset(
 ) -> rd.Dataset:
     """{bucket: state_dict} -> Dataset(layer, bucket, alpha, shape,
     weights:list<double>) — one row per (bucket, layer)."""
+    if alphas is not None and set(alphas) != set(states):
+        raise ValueError(
+            f"alphas keys {sorted(alphas)} must exactly match state "
+            f"buckets {sorted(states)}"
+        )
     rows = []
     n = len(states)
     for bucket, st in states.items():
-        a = (alphas or {}).get(bucket, 1.0 / max(n, 1))
+        a = alphas[bucket] if alphas is not None else 1.0 / max(n, 1)
         for layer, w in st.items():
             rows.append(
                 {

@@ -19,7 +19,9 @@ import ray.data as rd
 _WS_RE = re.compile(r" +")
 # BPE-ish tokenizer: word pieces, numbers, or single non-space symbols
 _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
-_PUNCT_RE = re.compile(r"[^\w\s]")
+# ASCII-only \w to match the DuckDB/RE2 oracle (Python's default \w is
+# unicode-aware and would not count non-ASCII letters as punctuation)
+_PUNCT_RE = re.compile(r"[^\w\s]", re.ASCII)
 
 STOPWORDS = frozenset(
     "the a an and or of to in is are was were be for on with as at by it".split()
@@ -29,8 +31,10 @@ STOPWORDS = frozenset(
 def token_stats(batch: pa.Table) -> pa.Table:
     """Whitespace tokens + BPE-ish tokens per doc (vectorized-ish: two
     compiled-regex passes per doc, no model)."""
-    texts = batch.column("text").to_pylist()
-    n_ws = [len(_WS_RE.split(t)) if t else 0 for t in texts]
+    # null text -> "" (skip-and-continue); empty string counts ONE
+    # whitespace token, matching DuckDB's string_split_regex('', ' +')
+    texts = [t or "" for t in batch.column("text").to_pylist()]
+    n_ws = [len(_WS_RE.split(t)) for t in texts]
     n_bpe = [len(_BPE_RE.findall(t)) for t in texts]
     return pa.table(
         {
@@ -47,7 +51,9 @@ def quality_scores(batch: pd.DataFrame) -> pd.DataFrame:
     n_chars = text.str.len().astype("int64")
     words = text.str.split(" ")
     n_words = words.str.len().fillna(0).astype("int64")
-    n_punct = text.str.count(_PUNCT_RE.pattern).astype("int64")
+    # flags must ride along explicitly: str.count re-compiles the
+    # pattern string and would drop re.ASCII
+    n_punct = text.str.count(_PUNCT_RE.pattern, flags=re.ASCII).astype("int64")
     stop = words.map(lambda ws: sum(1 for w in ws if w in STOPWORDS))
     out = pd.DataFrame(
         {
@@ -87,6 +93,7 @@ class LangId:
         self.cjk = re.compile(r"[一-鿿]")
 
     def classify(self, text: str) -> str:
+        text = text or ""
         if self.cjk.search(text):
             return "zh"
         t = text.lower()
@@ -112,6 +119,7 @@ def fingerprint(batch: pa.Table, k: int = 8, window: int = 4) -> pa.Table:
     counts = np.zeros(len(texts), dtype=np.int64)
     digests = np.zeros(len(texts), dtype=np.uint64)
     for i, t in enumerate(texts):
+        t = t or ""  # null text -> no fingerprints
         if len(t) < k:
             continue
         data = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)

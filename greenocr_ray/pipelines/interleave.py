@@ -164,6 +164,13 @@ def build_interleaved(
     paths = {"documents": doc_path, "media": media_path}
     if os.path.exists(marker):
         return paths
+    # no marker: any files present are leftovers of a crashed build —
+    # Ray's write would APPEND fresh-uuid files next to them and
+    # silently double the corpus, so clear first
+    import shutil
+
+    shutil.rmtree(doc_path, ignore_errors=True)
+    shutil.rmtree(media_path, ignore_errors=True)
     src = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     if max_docs is not None:
         src = src.limit(max_docs)

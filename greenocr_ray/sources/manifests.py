@@ -12,6 +12,7 @@ All three manifest readers return ``ray.data.Dataset`` with schema
 from __future__ import annotations
 
 import os
+import sys
 
 import pyarrow as pa
 import ray.data as rd
@@ -57,15 +58,28 @@ def parse_iam64_lines(lines: list[str]) -> tuple[list[tuple[str, str]], list[str
     return samples, rejects
 
 
+def _log_rejects(path: str, rejects: list[str]) -> None:
+    if rejects:
+        # the reference prints each bad line and continues
+        # (exe_t.py:319-336); keep that observable skip-and-LOG contract
+        print(
+            f"[manifests] {path}: skipped {len(rejects)} malformed "
+            f"line(s), e.g. {rejects[0]!r}",
+            file=sys.stderr,
+        )
+
+
 def read_pipe_manifest(path: str) -> rd.Dataset:
     with open(path, encoding="utf-8") as fh:
-        samples, _ = parse_pipe_lines(fh.readlines())
+        samples, rejects = parse_pipe_lines(fh.readlines())
+    _log_rejects(path, rejects)
     return _from_rows([s[0] for s in samples], [s[1] for s in samples])
 
 
 def read_iam64_manifest(path: str) -> rd.Dataset:
     with open(path, encoding="utf-8") as fh:
-        samples, _ = parse_iam64_lines(fh.readlines())
+        samples, rejects = parse_iam64_lines(fh.readlines())
+    _log_rejects(path, rejects)
     return _from_rows([s[0] for s in samples], [s[1] for s in samples])
 
 

@@ -40,6 +40,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(str)
         elif np.issubdtype(df[c].dtype, np.floating):
             df[c] = df[c].round(6)
+        elif np.issubdtype(df[c].dtype, np.unsignedinteger):
+            pass  # keep uint64 (simhash/digest) — int64 cast would wrap
         elif np.issubdtype(df[c].dtype, np.integer):
             df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
