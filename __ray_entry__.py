@@ -94,6 +94,46 @@ def _q_extract_verify(sf_dir: str) -> Any:
     return pd.DataFrame(rows)
 
 
+def _q_extract_sharded_verify(sf_dir: str) -> Any:
+    """The co-partitioned zero-shuffle pipeline (bench headline),
+    verified the same way as the streaming path: extracted spans vs
+    the derivation's expected spans, per-doc match flags."""
+    import shutil
+
+    import pandas as pd
+
+    from greenocr_ray.pipelines.sharded import ShardedOptions, run_sharded_extraction
+
+    paths = _interleaved(sf_dir, max_docs=200)
+    out_dir = f"/tmp/greenocr_sharded_verify/{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    run_sharded_extraction(
+        paths["documents"], paths["media"], out_dir, ShardedOptions(concurrency=(2, 8))
+    )
+    import pyarrow.parquet as _pq
+
+    res = _pq.read_table(out_dir).to_pandas().set_index("doc_id")
+    exp = pq.read_table(
+        paths["documents"], columns=["doc_id", "expected_spans"]
+    ).to_pandas().set_index("doc_id")
+    rows = []
+    for doc_id in exp.index:
+        want = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in exp.loc[doc_id, "expected_spans"]
+        ]
+        got = (
+            [
+                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in res.loc[doc_id, "spans"]
+            ]
+            if doc_id in res.index
+            else []
+        )
+        rows.append({"doc_id": doc_id, "spans_match": got == want})
+    return pd.DataFrame(rows)
+
+
 def _q_token_counts(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -302,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship extraction (non-SQL: OCR + span assembly)
         "extract_spans": _q_extract_spans,
         "extract_verify": _q_extract_verify,
+        "extract_sharded_verify": _q_extract_sharded_verify,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         # relational operator suite (oracle-checked)
