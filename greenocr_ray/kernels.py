@@ -116,19 +116,28 @@ def clahe(
     # tile boundaries
     ye = np.linspace(0, h, ty + 1).astype(np.int64)
     xe = np.linspace(0, w, tx + 1).astype(np.int64)
-    # per-tile clipped CDF lookup tables
-    luts = np.zeros((ty, tx, nbins), dtype=np.float32)
-    for i in range(ty):
-        for j in range(tx):
-            tile = q[ye[i] : ye[i + 1], xe[j] : xe[j + 1]]
-            hist = np.bincount(tile.ravel(), minlength=nbins).astype(np.float32)
-            n = tile.size
-            limit = clip_limit * n / nbins
-            excess = np.maximum(hist - limit, 0.0).sum()
-            hist = np.minimum(hist, limit) + excess / nbins
-            cdf = np.cumsum(hist)
-            cdf = cdf / cdf[-1]
-            luts[i, j] = cdf.astype(np.float32)
+    # all tile histograms in ONE bincount: key = tile_id * nbins + bin
+    row_tile = (np.searchsorted(ye, np.arange(h), side="right") - 1).clip(
+        0, ty - 1
+    )
+    col_tile = (np.searchsorted(xe, np.arange(w), side="right") - 1).clip(
+        0, tx - 1
+    )
+    tile_id = row_tile[:, None] * tx + col_tile[None, :]
+    key = tile_id * nbins + q
+    hists = (
+        np.bincount(key.ravel(), minlength=ty * tx * nbins)
+        .reshape(ty, tx, nbins)
+        .astype(np.float32)
+    )
+    # clipped-CDF LUTs, vectorized across tiles (same per-tile math as
+    # the loop form: clip to limit, redistribute excess, normalize)
+    n_tile = hists.sum(axis=2, dtype=np.float64)
+    limit = (clip_limit * n_tile / nbins)[:, :, None]
+    excess = np.maximum(hists - limit, 0.0).sum(axis=2, dtype=np.float64)
+    hists = np.minimum(hists, limit) + (excess / nbins)[:, :, None]
+    cdf = np.cumsum(hists, axis=2)
+    luts = (cdf / cdf[:, :, -1:]).astype(np.float32)
     # bilinear interpolation between the four surrounding tile LUTs
     yc = (ye[:-1] + ye[1:]) / 2.0  # tile centers
     xc = (xe[:-1] + xe[1:]) / 2.0
