@@ -45,7 +45,9 @@ def entry() -> Any:
 
 
 def _q_extract_spans(sf_dir: str) -> Any:
-    """Flagship extraction; returns flat span rows (rows-only check)."""
+    """Flagship extraction; returns flat span rows, hash-compared by
+    the oracle against the derivation's expected spans (UNNESTed into
+    ``expected_flat.parquet`` by the corpus builder)."""
     import ray.data as rd
 
     from greenocr_ray.pipelines.extract import ExtractOptions, extract_flat
@@ -56,7 +58,12 @@ def _q_extract_spans(sf_dir: str) -> Any:
     out = extract_flat(
         docs, media, ExtractOptions(ocr_concurrency=(1, 8))
     ).to_pandas()
-    return out.sort_values(["doc_id", "offset"]).reset_index(drop=True)
+    out = out[out["offset"] >= 0]  # drop empty-doc placeholders
+    return (
+        out[["doc_id", "offset", "kind", "text", "media_ref"]]
+        .sort_values(["doc_id", "offset"])
+        .reset_index(drop=True)
+    )
 
 
 def _q_extract_verify(sf_dir: str) -> Any:
@@ -379,8 +386,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """DuckDB oracles. The driver calls this with no args (its gate
+    runs at sf0.01); tools/check_oracle.py passes its sf_dir so the
+    flagship oracles point at the matching derived corpus.
+
+    The three flagship extraction oracles read the corpus derivation's
+    ``expected_flat.parquet`` (written by ``build_interleaved`` —
+    ground truth produced by the structure pass, independent of the
+    extraction pipeline under test). ``_interleaved`` is invoked here
+    so the file exists even if the oracle runs before the query.
+    """
+    try:  # needs an initialised Ray if the corpus isn't cached yet
+        flagship_paths = _interleaved(sf_dir, max_docs=200)
+        expected_flat = flagship_paths["expected_flat"]
+    except Exception:  # no Ray session: fall back to the cache path
+        tag = hashlib.md5(f"{sf_dir}|200".encode()).hexdigest()[:10]
+        expected_flat = f"/tmp/greenocr_interleaved/{tag}/expected_flat.parquet"
     return {
+        "extract_spans": f"""
+            SELECT doc_id, "offset", kind, text, media_ref
+            FROM read_parquet('{expected_flat}')
+            ORDER BY doc_id, "offset"
+        """,
+        "extract_verify": f"""
+            SELECT doc_id, TRUE AS spans_match FROM (
+                SELECT DISTINCT doc_id FROM read_parquet('{expected_flat}')
+            ) ORDER BY doc_id
+        """,
+        "extract_sharded_verify": f"""
+            SELECT doc_id, TRUE AS spans_match FROM (
+                SELECT DISTINCT doc_id FROM read_parquet('{expected_flat}')
+            ) ORDER BY doc_id
+        """,
         "q1_pricing_summary": """
             -- intermediate ROUND at the sums' exact decimal precision
             -- (inputs have 2 decimals -> sums exact at 4; the charge

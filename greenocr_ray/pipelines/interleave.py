@@ -138,6 +138,39 @@ def render_media_rows(batch: pa.Table) -> pa.Table:
     )
 
 
+def write_expected_flat(doc_path: str, out_file: str) -> None:
+    """Unnest documents.expected_spans into a flat
+    (doc_id, offset, kind, text, media_ref) parquet file — the ground
+    truth the DuckDB oracle reads to hash-compare the flagship
+    extraction queries (the expected spans come from the corpus
+    derivation, independent of the extraction pipeline)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    t = pads.dataset(doc_path, format="parquet").to_table(
+        columns=["doc_id", "expected_spans"]
+    )
+    exps = t.column("expected_spans")
+    if isinstance(exps, pa.ChunkedArray):
+        exps = exps.combine_chunks()
+    import pyarrow.compute as pc_
+
+    parent = pc_.list_parent_indices(exps)
+    flat = pc_.list_flatten(exps)
+    out = pa.table(
+        {
+            "doc_id": pc_.take(t.column("doc_id"), parent),
+            "offset": flat.field("offset"),
+            "kind": flat.field("kind"),
+            "text": flat.field("text"),
+            "media_ref": flat.field("media_ref"),
+        }
+    )
+    tmp = out_file + ".tmp"
+    pq.write_table(out, tmp)
+    os.replace(tmp, out_file)
+
+
 _REPEAT_STRIDE = 10_000_000  # doc_id offset between repeated copies
 
 
@@ -161,8 +194,15 @@ def build_interleaved(
     doc_path = os.path.join(out_dir, "documents")
     media_path = os.path.join(out_dir, "media")
     marker = os.path.join(out_dir, "_SUCCESS")
-    paths = {"documents": doc_path, "media": media_path}
+    expected_flat = os.path.join(out_dir, "expected_flat.parquet")
+    paths = {
+        "documents": doc_path,
+        "media": media_path,
+        "expected_flat": expected_flat,
+    }
     if os.path.exists(marker):
+        if not os.path.exists(expected_flat):  # corpus cached by old code
+            write_expected_flat(doc_path, expected_flat)
         return paths
     # no marker: any files present are leftovers of a crashed build —
     # Ray's write would APPEND fresh-uuid files next to them and
@@ -196,6 +236,7 @@ def build_interleaved(
     src.map_batches(
         render_media_rows, batch_format="pyarrow", batch_size=64
     ).write_parquet(media_path)
+    write_expected_flat(doc_path, expected_flat)
     with open(marker, "w") as fh:
         fh.write("ok")
     return paths

@@ -65,7 +65,10 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     qs = E.queries()
-    oracles = E.oracle_sql()
+    try:
+        oracles = E.oracle_sql(sf_dir)  # flagship oracles are sf-relative
+    except TypeError:
+        oracles = E.oracle_sql()
     n_ok = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
