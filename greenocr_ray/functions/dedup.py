@@ -21,6 +21,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 _TOKEN_RE = re.compile(r"\w+")
@@ -66,14 +67,48 @@ def exact_dedup_groups(docs: rd.Dataset) -> rd.Dataset:
     )
 
 
+def duplicated_group_keepers(groups: rd.Dataset) -> dict[str, int]:
+    """(text_md5 -> keeper doc_id) for DUPLICATED groups only — the
+    broadcastable small side of the dedup filter. Its size is the
+    number of distinct duplicated texts (≈ n_dups), NOT corpus
+    cardinality: a mostly-unique 100 TB crawl broadcasts megabytes."""
+    out: dict[str, int] = {}
+    for b in groups.iter_batches(batch_format="pyarrow"):
+        mask = pc.greater(b.column("n_copies"), 1)
+        dups = b.filter(mask)
+        for m, k in zip(
+            dups.column("text_md5").to_pylist(), dups.column("keeper").to_pylist()
+        ):
+            out[m] = k
+    return out
+
+
 def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
-    """Dataset with duplicate-text rows dropped (keep min doc_id)."""
+    """Dataset with duplicate-text rows dropped (keep min doc_id).
+
+    Scale shape: only the DROP side is broadcast — a dict of
+    (text_md5 -> keeper) for groups with n_copies > 1, built from the
+    grouped partials. Rows whose hash isn't in the dict are unique and
+    pass untouched; rows in a duplicated group pass iff they are the
+    keeper. (The previous form broadcast one entry per DISTINCT text —
+    corpus cardinality — which cannot ship at 100 TB.)"""
+    import ray
+
     groups = exact_dedup_groups(docs)
-    keep = set(groups.to_pandas()["keeper"])
+    drop_ref = ray.put(duplicated_group_keepers(groups))
 
     def filt(t: pa.Table) -> pa.Table:
+        keepers = ray.get(drop_ref)
+        if not keepers:
+            return t
+        texts = t.column("text").to_pylist()
         ids = t.column("doc_id").to_pylist()
-        return t.filter(pa.array([i in keep for i in ids]))
+        keep = [
+            (k := keepers.get(hashlib.md5(s.encode()).hexdigest())) is None
+            or k == i
+            for s, i in zip(texts, ids)
+        ]
+        return t.filter(pa.array(keep))
 
     return docs.map_batches(filt, batch_format="pyarrow")
 

@@ -19,6 +19,23 @@ from .. import kernels
 RAW_FORMAT = "raw-gray-u8"  # row-major uint8 grayscale, len == w*h
 
 
+def valid_payload(raw, w, h) -> bool:
+    """Skip-and-continue guard (the reference's per-row error policy):
+    malformed media rows — null payload, null/NaN/non-positive dims,
+    or a payload shorter than w*h — must not crash the stage."""
+    if raw is None or w is None or h is None:
+        return False
+    try:
+        wf, hf = float(w), float(h)
+    except (TypeError, ValueError):
+        return False
+    if not (np.isfinite(wf) and np.isfinite(hf)):
+        return False
+    if int(wf) <= 0 or int(hf) <= 0:
+        return False
+    return len(raw) >= int(wf) * int(hf)
+
+
 def decode_raster(raw: bytes, width: int, height: int, fmt: str = RAW_FORMAT) -> np.ndarray:
     """binary payload -> HxW float32 [0,1]."""
     if fmt == RAW_FORMAT:
@@ -63,6 +80,11 @@ class ImageResizeStage:
         payloads = batch.column("pixels").to_pylist()
         out_px, out_w, out_h = [], [], []
         for raw, w, h in zip(payloads, widths, heights):
+            if not valid_payload(raw, w, h):
+                out_px.append(b"")
+                out_h.append(0)
+                out_w.append(0)
+                continue
             img = decode_raster(raw, int(w), int(h))
             resized = kernels.resize_keep_aspect(img, self.target_h)
             u8 = np.clip(np.round(resized * 255.0), 0, 255).astype(np.uint8)
@@ -93,6 +115,8 @@ class ImageFeatureStage:
         contrast = np.zeros(n)
         edge = np.zeros(n)
         for i, (raw, w, h) in enumerate(zip(payloads, widths, heights)):
+            if not valid_payload(raw, w, h):
+                continue  # feature row stays all-zero
             img = decode_raster(raw, int(w), int(h))
             mask = kernels.binarize(img, "otsu")
             density[i] = float(mask.mean())

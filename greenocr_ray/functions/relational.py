@@ -143,7 +143,7 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 def q_top_orders(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     top = ds.sort("o_totalprice", descending=True).limit(10).to_pandas()
-    top["o_totalprice"] = top["o_totalprice"].round(2)
+    top["o_totalprice"] = round_half_away(top["o_totalprice"], 2)
     return top
 
 
@@ -164,7 +164,7 @@ def q_filter_events(sf_dir: str) -> pd.DataFrame:
         .limit(20)
         .to_pandas()
     )
-    out["value"] = out["value"].round(6)
+    out["value"] = round_half_away(out["value"], 6)
     return out
 
 
@@ -196,7 +196,7 @@ def q_segment_revenue(sf_dir: str) -> pd.DataFrame:
     out = combine_small_agg(
         parts, ["c_mktsegment"], {"revenue": "sum", "n_orders": "sum"}
     )
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = round_half_away(out["revenue"], 2)
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
@@ -236,8 +236,8 @@ def q_region_customers(sf_dir: str) -> pd.DataFrame:
     out = combine_small_agg(
         parts, ["r_name"], {"n_customers": "sum", "sum_acctbal": "sum"}
     )
-    out["avg_acctbal"] = (out["sum_acctbal"] / out["n_customers"]).round(6)
-    out["sum_acctbal"] = out["sum_acctbal"].round(2)
+    out["avg_acctbal"] = round_half_away(out["sum_acctbal"] / out["n_customers"], 6)
+    out["sum_acctbal"] = round_half_away(out["sum_acctbal"], 2)
     return out.sort_values("r_name").reset_index(drop=True)
 
 
@@ -264,7 +264,7 @@ def q_supplier_nation(sf_dir: str) -> pd.DataFrame:
         ["n_name"],
         {"n_suppliers": "sum", "total_acctbal": "sum"},
     )
-    out["total_acctbal"] = out["total_acctbal"].round(2)
+    out["total_acctbal"] = round_half_away(out["total_acctbal"], 2)
     return out.sort_values("n_name").reset_index(drop=True)
 
 
@@ -314,8 +314,8 @@ def q_part_brand_stats(sf_dir: str) -> pd.DataFrame:
         ["p_brand"],
         {"n_parts": "sum", "sum_price": "sum", "max_size": "max"},
     )
-    out["avg_price"] = (out["sum_price"] / out["n_parts"]).round(6)
-    out["sum_price"] = out["sum_price"].round(2)
+    out["avg_price"] = round_half_away(out["sum_price"] / out["n_parts"], 6)
+    out["sum_price"] = round_half_away(out["sum_price"], 2)
     return out.sort_values("p_brand").reset_index(drop=True)
 
 
@@ -347,7 +347,7 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     # avg from the ROUNDED sum: the raw float64 sum differs from the
     # oracle's by summation order in the last ulp, which flips the 6th
     # decimal at scale; rounding to cents first absorbs it
-    out["sum_value"] = out["sum_value"].round(2)
+    out["sum_value"] = round_half_away(out["sum_value"], 2)
     out["avg_value"] = round_half_away(out["sum_value"] / out["n_events"], 6)
     return out.sort_values(["event_type", "hour_bucket"]).reset_index(drop=True)
 
@@ -396,7 +396,7 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
             )
             .reset_index()
         )
-        out["sum_value"] = out["sum_value"].round(2)
+        out["sum_value"] = round_half_away(out["sum_value"], 2)
         return out[
             ["user_id", "session_num", "session_start", "session_end",
              "n_events", "sum_value"]
@@ -448,7 +448,7 @@ def q_top_orders_per_segment(sf_dir: str, k: int = 3) -> pd.DataFrame:
     )
     out = allp.groupby("c_mktsegment", sort=True).head(k).reset_index(drop=True)
     out["rn"] = out.groupby("c_mktsegment").cumcount() + 1
-    out["o_totalprice"] = out["o_totalprice"].round(2)
+    out["o_totalprice"] = round_half_away(out["o_totalprice"], 2)
     return out[["c_mktsegment", "rn", "o_orderkey", "o_totalprice"]]
 
 
@@ -553,7 +553,7 @@ def q_events_sliding(sf_dir: str, window_hours: int = 2) -> pd.DataFrame:
         n = g["n_events"].reindex(full, fill_value=0)
         s = g["sum_value"].reindex(full, fill_value=0.0)
         roll_n = n.rolling(window_hours, min_periods=1).sum().astype("int64")
-        roll_s = s.rolling(window_hours, min_periods=1).sum().round(2)
+        roll_s = round_half_away(s.rolling(window_hours, min_periods=1).sum(), 2)
         df = pd.DataFrame(
             {
                 "event_type": etype,

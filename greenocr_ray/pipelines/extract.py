@@ -129,6 +129,117 @@ def extract_dataset(
     return out.groupby("doc_id").map_groups(assemble_group, batch_format="pandas")
 
 
+# resume-economy regime bounds: below MIN_DONE_FRACTION of completed
+# partitions the filter saves less OCR than it costs, so skip it; above
+# it, a needed-ref table up to BROADCAST_REF_LIMIT rows broadcasts to
+# the tasks, anything bigger goes through a distributed semi-join so no
+# corpus-cardinality set ever lands on the driver.
+_MIN_DONE_FRACTION = 0.25
+_BROADCAST_REF_LIMIT = 5_000_000
+
+
+def _needed_media_refs(docs: rd.Dataset) -> rd.Dataset:
+    """media_refs still referenced by the remaining docs (text-only,
+    pending-sized; materialized so count + reuse don't re-execute)."""
+
+    def media_refs(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("kind"), "media")).select(["media_ref"])
+
+    return (
+        docs.map_batches(explode_spans, batch_format="pyarrow")
+        .map_batches(media_refs, batch_format="pyarrow")
+        .materialize()
+    )
+
+
+def _filter_media_to_remaining(
+    docs: rd.Dataset, media: rd.Dataset, n_done: int, opts: ExtractOptions
+) -> rd.Dataset:
+    """Resume economy: OCR only payloads the remaining docs reference.
+
+    Early-crash resumes (few partitions done) skip the filter — the
+    wasted OCR is bounded by the done fraction, and a needed-ref set
+    would be corpus-sized. Mostly-done resumes broadcast the (small)
+    needed-ref set and filter with vectorized ``pc.is_in``. The middle
+    regime — too many refs to broadcast — semi-joins media against the
+    distinct needed refs (hash shuffle on media_ref), so nothing of
+    corpus cardinality ever collects on the driver."""
+    if n_done / opts.n_parts < _MIN_DONE_FRACTION:
+        return media
+    needed = _needed_media_refs(docs)
+    if needed.count() <= _BROADCAST_REF_LIMIT:
+        import ray
+
+        want: set[str] = set()
+        for b in needed.iter_batches(batch_format="pyarrow"):
+            want.update(b.column("media_ref").to_pylist())
+        want_ref = ray.put(pa.array(sorted(want), type=pa.string()))
+
+        def only_needed(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t.column("media_ref"), ray.get(want_ref)))
+
+        return media.map_batches(only_needed, batch_format="pyarrow")
+    return _semi_join_media(media, needed, opts.join_partitions)
+
+
+def _semi_join_media(
+    media: rd.Dataset, needed: rd.Dataset, nbuckets: int
+) -> rd.Dataset:
+    """Distributed semi-join: media rows whose media_ref appears in
+    ``needed`` — via ONE bucketed groupby (task-based all-to-all), not
+    ``Dataset.join``: a second JoinOperator in the same plan as the
+    OCR-result join deadlocks on small CPU counts (both join-aggregator
+    actor pools plus the OCR pool contend for the same slots, observed
+    on Ray 2.49.2 at num_cpus=4). Duplicate refs collapse inside the
+    group, so no separate distinct pass is needed."""
+    import zlib
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            refs = t.column("media_ref").to_pylist()
+            buckets = [zlib.crc32(r.encode()) % nbuckets for r in refs]
+            out = t.append_column(
+                "_bucket", pa.array(buckets, type=pa.int32())
+            )
+            return out.append_column(
+                "_side", pa.array([side] * t.num_rows, type=pa.string())
+            )
+
+        return fn
+
+    media_schema = media.schema().base_schema
+
+    def pad_refs(t: pa.Table) -> pa.Table:
+        # needed-ref rows carry typed nulls for the media payload
+        # columns so the union schemas line up exactly
+        cols = {}
+        for field in media_schema:
+            if field.name == "media_ref":
+                cols[field.name] = t.column("media_ref")
+            else:
+                cols[field.name] = pa.nulls(t.num_rows, type=field.type)
+        cols["_bucket"] = t.column("_bucket")
+        cols["_side"] = t.column("_side")
+        return pa.table(cols)
+
+    tagged_media = media.map_batches(tag("M"), batch_format="pyarrow")
+    tagged_refs = (
+        needed.map_batches(tag("R"), batch_format="pyarrow")
+        .map_batches(pad_refs, batch_format="pyarrow")
+    )
+
+    def keep_needed(g: pd.DataFrame) -> pd.DataFrame:
+        want = set(g.loc[g["_side"] == "R", "media_ref"])
+        out = g[(g["_side"] == "M") & g["media_ref"].isin(want)]
+        return out.drop(columns=["_bucket", "_side"])
+
+    return (
+        tagged_media.union(tagged_refs)
+        .groupby("_bucket")
+        .map_groups(keep_needed, batch_format="pandas")
+    )
+
+
 def run_extraction(
     documents_uri: str,
     media_uri: str,
@@ -157,34 +268,7 @@ def run_extraction(
 
         docs = docs.map_batches(drop_done, batch_format="pyarrow")
 
-        # resume economy: only OCR payloads the REMAINING docs still
-        # reference. The needed-ref set is proportional to the pending
-        # fraction (resumes are typically mostly-done), so collecting
-        # it to the driver and broadcasting is the small-side pattern —
-        # without it, the media-table OCR pass would redo 100% of the
-        # dominant work and discard it at the join.
-        import ray
-
-        needed = set()
-        for b in (
-            docs.map_batches(explode_spans, batch_format="pyarrow")
-            .map_batches(
-                lambda t: t.filter(
-                    pc.equal(t.column("kind"), "media")
-                ).select(["media_ref"]),
-                batch_format="pyarrow",
-            )
-            .iter_batches(batch_format="pyarrow")
-        ):
-            needed.update(b.column("media_ref").to_pylist())
-        needed_ref = ray.put(frozenset(needed))
-
-        def only_needed(t: pa.Table) -> pa.Table:
-            want = ray.get(needed_ref)
-            refs = t.column("media_ref").to_pylist()
-            return t.filter(pa.array([r in want for r in refs]))
-
-        media = media.map_batches(only_needed, batch_format="pyarrow")
+        media = _filter_media_to_remaining(docs, media, len(done), opts)
     out = extract_flat(docs, media, opts)
 
     n_parts = opts.n_parts

@@ -34,7 +34,10 @@ def explode_spans(batch: pa.Table) -> pa.Table:
     out = pa.table(
         {
             "doc_id": doc_ids,
-            "offset": flat.field("offset"),
+            # one canonical width engine-wide (inputs may carry int32
+            # per the Lance schema): downstream unions/joins build
+            # sentinel rows as int64 and must match exactly
+            "offset": flat.field("offset").cast(pa.int64()),
             "kind": flat.field("kind"),
             "text": flat.field("text"),
             "media_ref": flat.field("media_ref"),

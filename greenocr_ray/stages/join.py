@@ -79,7 +79,10 @@ def join_ocr_results(
             pa.table(
                 {
                     "doc_id": pa.array(["\x00__no_such_doc__"], type=pa.string()),
-                    "offset": pa.array([0], type=pa.int32()),
+                    # int64 matches explode_spans' canonical offset
+                    # width — a narrower sentinel would rely on Arrow's
+                    # silent integer promotion in the union
+                    "offset": pa.array([0], type=pa.int64()),
                     "media_ref": pa.array(
                         ["\x00__no_such_span__"], type=pa.string()
                     ),

@@ -167,6 +167,27 @@ def test_ngram_jaccard_pairs(ray_session):
     assert out.iloc[0]["jaccard_sim"] > 0.5
 
 
+def test_exact_dedup_broadcasts_only_dup_groups(ray_session):
+    """The dedup filter's broadcast side is bounded by the number of
+    DUPLICATED distinct texts, not corpus cardinality."""
+    from greenocr_ray.functions.dedup import (
+        duplicated_group_keepers,
+        exact_dedup,
+        exact_dedup_groups,
+    )
+
+    texts = [f"unique text {i}" for i in range(50)] + ["dup a"] * 3 + ["dup b"] * 2
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": texts})
+    )
+    keepers = duplicated_group_keepers(exact_dedup_groups(ds))
+    assert len(keepers) == 2  # 'dup a' and 'dup b' only — not the 50 uniques
+    assert sorted(keepers.values()) == [50, 53]  # min doc_id per group
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == list(range(51)) + [53]
+
+
 def test_top_orders_per_segment_ties(ray_session, tmp_path):
     from greenocr_ray.functions import relational as R
 

@@ -55,6 +55,58 @@ def test_checkpoint_resume_no_duplicates(tmp_path):
     assert lineage["n_docs"].sum() == 20
 
 
+def test_resume_low_completion_skips_media_filter(tmp_path, monkeypatch):
+    """A crash at ~12% completion resumes through the no-filter regime
+    (building a needed-ref set there would be corpus-sized) and still
+    produces the identical final table."""
+    import greenocr_ray.pipelines.extract as X
+
+    data_dir = str(tmp_path / "data")
+    paths = write_corpus(data_dir, n_docs=24, seed=33)
+    opts = ExtractOptions(n_parts=8, join_partitions=2, ocr_concurrency=(1, 2))
+
+    out_a = str(tmp_path / "run_a")
+    run_extraction(paths["documents"], paths["media"], out_a, opts)
+    golden = _read_all_parts(out_a)
+
+    out_b = str(tmp_path / "run_b")
+    shutil.copytree(out_a, out_b)
+    for pid in range(1, 8):  # keep only partition 0 -> done fraction 1/8
+        os.remove(os.path.join(out_b, f"part-{pid:05d}.parquet"))
+        os.remove(os.path.join(out_b, "_lineage", f"part-{pid:05d}.json"))
+
+    calls = []
+    orig = X._needed_media_refs
+    monkeypatch.setattr(X, "_needed_media_refs", lambda d: calls.append(1) or orig(d))
+    lin = run_extraction(paths["documents"], paths["media"], out_b, opts)
+    assert calls == []  # below _MIN_DONE_FRACTION: no needed-ref pass at all
+    assert sorted(lin["partition_id"]) == list(range(1, 8))
+    assert _read_all_parts(out_b) == golden
+
+
+def test_resume_semi_join_regime(tmp_path, monkeypatch):
+    """Forcing the broadcast limit to zero routes the mostly-done
+    resume through the distributed semi-join; output is unchanged."""
+    import greenocr_ray.pipelines.extract as X
+
+    monkeypatch.setattr(X, "_BROADCAST_REF_LIMIT", 0)
+    data_dir = str(tmp_path / "data")
+    paths = write_corpus(data_dir, n_docs=16, seed=34)
+    opts = ExtractOptions(n_parts=4, join_partitions=2, ocr_concurrency=(1, 2))
+
+    out_a = str(tmp_path / "run_a")
+    run_extraction(paths["documents"], paths["media"], out_a, opts)
+    golden = _read_all_parts(out_a)
+
+    out_b = str(tmp_path / "run_b")
+    shutil.copytree(out_a, out_b)
+    os.remove(os.path.join(out_b, "part-00002.parquet"))
+    os.remove(os.path.join(out_b, "_lineage", "part-00002.json"))
+    lin = run_extraction(paths["documents"], paths["media"], out_b, opts)
+    assert sorted(lin["partition_id"]) == [2]
+    assert _read_all_parts(out_b) == golden
+
+
 def test_lineage_record_fields(tmp_path):
     data_dir = str(tmp_path / "data")
     paths = write_corpus(data_dir, n_docs=6, seed=32)
