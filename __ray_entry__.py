@@ -617,6 +617,60 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                 FROM documents
             ) WHERE rn = 1 ORDER BY doc_id
         """,
+        # exact all-pairs k-gram Jaccard (k=3, tokens = \\w+ lowercase;
+        # the corpus is ASCII so RE2's [0-9a-z_] == Python's \\w here).
+        # Valid as an oracle because the engine VERIFIES candidates
+        # with exact Jaccard — any recall gap in its LSH/simhash
+        # blocking shows up as a row-count mismatch, which is exactly
+        # what the gate should catch.
+        "ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[0-9a-z_]+') AS tk
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, tk,
+                     unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i
+              FROM toks
+            ), sh AS (
+              SELECT doc_id,
+                     list(DISTINCT tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                         AS grams
+              FROM idx GROUP BY doc_id
+            )
+            SELECT doc_a, doc_b, jaccard_sim FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                             / len(list_distinct(list_concat(a.grams, b.grams))),
+                             6) AS jaccard_sim
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ) WHERE jaccard_sim >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
+        "minhash_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[0-9a-z_]+') AS tk
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, tk,
+                     unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i
+              FROM toks
+            ), sh AS (
+              SELECT doc_id,
+                     list(DISTINCT tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                         AS grams
+              FROM idx GROUP BY doc_id
+            )
+            SELECT doc_a, doc_b, jaccard_sim FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                             / len(list_distinct(list_concat(a.grams, b.grams))),
+                             6) AS jaccard_sim
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ) WHERE jaccard_sim >= 0.8
+            ORDER BY doc_a, doc_b
+        """,
         "knn_cosine": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e
                        FROM embeddings WHERE vec_id = 0)

@@ -4,7 +4,7 @@
 - minhash:    shingle -> minhash -> LSH bands -> bucket groupby ->
               candidate pairs -> Jaccard verify
 - simhash:    64-bit simhash per doc; near-dups = small Hamming distance
-              within LSH-style prefix buckets
+              within 4 rotated 16-bit band buckets (multi-probe)
 - ngram_jaccard: verified Jaccard similarity on candidate pairs
 
 Scale shape: all candidate generation is map_batches + ONE groupby on a
@@ -23,6 +23,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+
+from .relational import round_half_away
 
 _TOKEN_RE = re.compile(r"\w+")
 
@@ -184,12 +186,137 @@ def _band_rows(batch: pa.Table, num_perm: int, bands: int) -> pa.Table:
     )
 
 
-def jaccard(a: str, b: str, k: int = 3) -> float:
-    mh = MinHasher(shingle_k=k)
-    sa, sb = set(mh.shingles(a).tolist()), set(mh.shingles(b).tolist())
+def _jaccard_sets(sa: set, sb: set) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / max(len(sa | sb), 1)
+
+
+def jaccard(a: str, b: str, k: int = 3) -> float:
+    mh = MinHasher(shingle_k=k)
+    return _jaccard_sets(set(mh.shingles(a).tolist()), set(mh.shingles(b).tolist()))
+
+
+# verified-pair jaccard: below this many candidate pairs the texts are
+# candidate-bounded and fold on the driver; above it the verification
+# runs distributed (shingle sets joined onto pair halves via bucketed
+# groupbys — nothing text-sized ever collects on the driver)
+_PAIR_DRIVER_LIMIT = 100_000
+
+
+def pair_jaccards(
+    docs: rd.Dataset,
+    cand: pd.DataFrame,
+    k: int = 3,
+    force_distributed: bool = False,
+    nbuckets: int = 32,
+) -> np.ndarray:
+    """Exact k-gram Jaccard for each (doc_a, doc_b) candidate pair.
+
+    Driver path (small candidate sets): fetch only the candidate docs'
+    texts (``pc.is_in`` filtered, candidate-bounded) and verify in a
+    loop. Distributed path: compute shingle sets for candidate docs in
+    map_batches, attach them to pair halves with a doc-bucketed
+    groupby, then regroup by pair to score — two task-based shuffles,
+    no JoinOperator, no driver text collection."""
+    import ray
+
+    if len(cand) == 0:
+        return np.array([], dtype=np.float64)
+    mh = MinHasher(shingle_k=k)
+    if len(cand) <= _PAIR_DRIVER_LIMIT and not force_distributed:
+        needed = set(cand["doc_a"]) | set(cand["doc_b"])
+        need_arr = ray.put(pa.array(sorted(needed), type=pa.int64()))
+
+        def grab(t: pa.Table) -> pa.Table:
+            return t.select(["doc_id", "text"]).filter(
+                pc.is_in(t.column("doc_id"), ray.get(need_arr))
+            )
+
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in docs.map_batches(grab, batch_format="pyarrow").take_all()
+        }
+        return np.array(
+            [jaccard(texts[a], texts[b], k=k)
+             for a, b in zip(cand["doc_a"], cand["doc_b"])]
+        )
+
+    pair_ids = np.arange(len(cand), dtype=np.int64)
+    half_docs = np.column_stack(
+        [cand["doc_a"].to_numpy(), cand["doc_b"].to_numpy()]
+    ).ravel().astype(np.int64)
+    halves = pa.table(
+        {
+            "pair_id": pa.array(np.repeat(pair_ids, 2)),
+            "doc_id": pa.array(half_docs),
+            "_bucket": pa.array(
+                (half_docs % nbuckets).astype(np.int32)
+            ),
+            "shingles": pa.nulls(len(half_docs), type=pa.binary()),
+            "_side": pa.array(["H"] * len(half_docs), type=pa.string()),
+        }
+    )
+    need_arr = ray.put(
+        pa.array(np.unique(half_docs), type=pa.int64())
+    )
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column("doc_id"), ray.get(need_arr)))
+        ids = t.column("doc_id").to_pylist()
+        sh = [mh.shingles(x).tobytes() for x in t.column("text").to_pylist()]
+        return pa.table(
+            {
+                "pair_id": pa.array([-1] * len(ids), type=pa.int64()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "_bucket": pa.array(
+                    [i % nbuckets for i in ids], type=pa.int32()
+                ),
+                "shingles": pa.array(sh, type=pa.binary()),
+                "_side": pa.array(["S"] * len(ids), type=pa.string()),
+            }
+        )
+
+    sh_ds = docs.map_batches(shingle_rows, batch_format="pyarrow")
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        smap = dict(
+            zip(g.loc[g["_side"] == "S", "doc_id"],
+                g.loc[g["_side"] == "S", "shingles"])
+        )
+        h = g[g["_side"] == "H"]
+        return pd.DataFrame(
+            {"pair_id": h["pair_id"], "shingles": h["doc_id"].map(smap)}
+        )
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        out_p, out_s = [], []
+        for pid, pg in g.groupby("pair_id", sort=False):
+            sets = [
+                set(np.frombuffer(b, dtype=np.uint64).tolist())
+                if b is not None
+                else set()
+                for b in pg["shingles"]
+            ]
+            while len(sets) < 2:  # a half lost its doc (missing text)
+                sets.append(set())
+            out_p.append(pid)
+            out_s.append(_jaccard_sets(sets[0], sets[1]))
+        return pd.DataFrame({"pair_id": out_p, "jaccard_sim": out_s})
+
+    attached = (
+        rd.from_arrow(halves)
+        .union(sh_ds)
+        .groupby("_bucket")
+        .map_groups(attach, batch_format="pandas")
+    )
+    scored = (
+        attached.groupby("pair_id")
+        .map_groups(score, batch_format="pandas")
+        .to_pandas()
+        .set_index("pair_id")["jaccard_sim"]
+    )
+    return scored.reindex(pair_ids).to_numpy()
 
 
 def minhash_candidate_pairs(
@@ -270,22 +397,8 @@ def minhash_dedup_pairs(
              "doc_b": pd.Series([], dtype="int64"),
              "jaccard_sim": pd.Series([], dtype="float64")}
         )
-    needed = set(cand["doc_a"]) | set(cand["doc_b"])
-
-    def grab(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        return t.select(["doc_id", "text"]).filter(
-            pa.array([i in needed for i in ids])
-        )
-
-    texts = {
-        r["doc_id"]: r["text"]
-        for r in docs.map_batches(grab, batch_format="pyarrow").take_all()
-    }
-    sims = [
-        jaccard(texts[a], texts[b]) for a, b in zip(cand["doc_a"], cand["doc_b"])
-    ]
-    cand = cand.assign(jaccard_sim=np.round(sims, 6))
+    sims = pair_jaccards(docs, cand)
+    cand = cand.assign(jaccard_sim=round_half_away(sims, 6))
     out = cand[cand["jaccard_sim"] >= threshold][
         ["doc_a", "doc_b", "jaccard_sim"]
     ]
@@ -344,10 +457,46 @@ def simhash_table(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=(2, 8))
 
 
+_SIM_BANDS = 4  # 4 x 16-bit bands over the 64-bit simhash
+
+
+def _simhash_band_rows(t: pa.Table) -> pa.Table:
+    """(doc_id, simhash) -> 4 rows per doc, one per 16-bit band —
+    multi-probe blocking: a candidate pair fires if ANY band matches.
+    Pigeonhole guarantee: a pair within Hamming distance d < 4 has at
+    least one band with zero flipped bits, so recall is EXACT for
+    max_hamming <= 3 (the single top-prefix bucket this replaces
+    silently missed pairs whose flips landed in the top 16 bits)."""
+    hs = t.column("simhash").to_numpy().astype(np.uint64)
+    n = len(hs)
+    doc = np.repeat(t.column("doc_id").to_numpy(), _SIM_BANDS)
+    sim = np.repeat(hs, _SIM_BANDS)
+    band = np.tile(np.arange(_SIM_BANDS, dtype=np.int32), n)
+    vals = (sim >> (np.uint64(16) * band.astype(np.uint64))) & np.uint64(0xFFFF)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc, type=pa.int64()),
+            "simhash": pa.array(sim),
+            "band_id": pa.array(band),
+            "band_val": pa.array(vals.astype(np.int32)),
+        }
+    )
+
+
 def simhash_near_dups(docs: rd.Dataset, max_hamming: int = 3) -> pd.DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming, candidates
-    limited to shared 16-bit prefix buckets."""
-    tbl = simhash_table(docs)
+    """Near-dup pairs with Hamming(simhash) <= max_hamming; candidates
+    from 4 rotated 16-bit band buckets (exact recall for
+    max_hamming <= 3, high recall above). A pair can fire in several
+    bands; the dedupe folds on the small pair set."""
+    return simhash_near_dups_from_table(simhash_table(docs), max_hamming)
+
+
+def simhash_near_dups_from_table(
+    tbl: rd.Dataset, max_hamming: int = 3
+) -> pd.DataFrame:
+    """Pair-finding half of ``simhash_near_dups`` over a precomputed
+    (doc_id, simhash) table."""
+    banded = tbl.map_batches(_simhash_band_rows, batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -364,13 +513,31 @@ def simhash_near_dups(docs: rd.Dataset, max_hamming: int = 3) -> pd.DataFrame:
                           "doc_b": pd.Series([], dtype="int64"),
                           "hamming": pd.Series([], dtype="int64")})
 
-    return (
-        tbl.groupby("bucket")
-        .map_groups(pairs, batch_format="pandas")
-        .to_pandas()
-        .sort_values(["doc_a", "doc_b"])
-        .reset_index(drop=True)
-    )
+    # adaptive combine, same policy as the minhash bands: band rows are
+    # ~20 bytes, so small tables bucket on the driver instead of paying
+    # the shuffle's fixed actor cost; past the limit the genuine
+    # groupby shuffle is the scale path
+    banded = banded.materialize()
+    if banded.count() <= _BAND_ROWS_DRIVER_LIMIT:
+        df = banded.to_pandas()
+        frames = [
+            pairs(g)
+            for _, g in df.groupby(["band_id", "band_val"], sort=False)
+            if len(g) > 1
+        ]
+        raw = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pairs(pd.DataFrame({"doc_id": [], "simhash": []}))
+        )
+    else:
+        raw = (
+            banded.groupby(["band_id", "band_val"])
+            .map_groups(pairs, batch_format="pandas")
+            .to_pandas()
+        )
+    out = raw.drop_duplicates(["doc_a", "doc_b"])
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # ------------------------------------------------------- n-gram jaccard
@@ -381,40 +548,37 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     k: int = 3,
     max_hamming: int = 8,
+    num_perm: int = 64,
+    lsh_bands: int = 32,
 ) -> pd.DataFrame:
     """Verified n-gram-Jaccard near-dup pairs.
 
-    Candidate generation reuses the simhash prefix buckets (one
-    groupby shuffle, pairwise work only inside buckets); candidates
-    within ``max_hamming`` simhash bits are then verified with EXACT
-    k-gram Jaccard over the pair texts. Complements minhash LSH: the
-    simhash blocking catches word-reorder dups the band scheme can
-    miss at low similarity.
-    """
-    cand = simhash_near_dups(docs, max_hamming=max_hamming)
+    Candidates are the UNION of two blockers — simhash band buckets
+    (pairs within ``max_hamming`` bits; catches token-frequency-similar
+    reorderings) and a high-recall minhash LSH tuned for low
+    thresholds (rows-per-band = num_perm/lsh_bands = 2: miss
+    probability (1-s^2)^32 ≈ 1e-4 at s = 0.5). Hamming distance gates
+    CANDIDATE GENERATION only; the output filter is the exact k-gram
+    Jaccard — a true pair blocked by one scheme is found by the other.
+    Every candidate is verified with exact Jaccard (``pair_jaccards``:
+    driver fold for small sets, distributed shingle join beyond)."""
+    cand_sim = simhash_near_dups(docs, max_hamming=max_hamming)[
+        ["doc_a", "doc_b"]
+    ]
+    cand_mh = minhash_candidate_pairs(docs, num_perm, lsh_bands).to_pandas()
+    cand = (
+        pd.concat([cand_sim, cand_mh[["doc_a", "doc_b"]]], ignore_index=True)
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
     if len(cand) == 0:
         return pd.DataFrame(
             {"doc_a": pd.Series([], dtype="int64"),
              "doc_b": pd.Series([], dtype="int64"),
              "jaccard_sim": pd.Series([], dtype="float64")}
         )
-    needed = set(cand["doc_a"]) | set(cand["doc_b"])
-
-    def grab(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        return t.select(["doc_id", "text"]).filter(
-            pa.array([i in needed for i in ids])
-        )
-
-    texts = {
-        r["doc_id"]: r["text"]
-        for r in docs.map_batches(grab, batch_format="pyarrow").take_all()
-    }
-    sims = [
-        jaccard(texts[a], texts[b], k=k)
-        for a, b in zip(cand["doc_a"], cand["doc_b"])
-    ]
-    out = cand.assign(jaccard_sim=np.round(sims, 6))
+    sims = pair_jaccards(docs, cand, k=k)
+    out = cand.assign(jaccard_sim=round_half_away(sims, 6))
     out = out[out["jaccard_sim"] >= threshold][
         ["doc_a", "doc_b", "jaccard_sim"]
     ]

@@ -167,6 +167,59 @@ def test_ngram_jaccard_pairs(ray_session):
     assert out.iloc[0]["jaccard_sim"] > 0.5
 
 
+def test_simhash_multiprobe_catches_top_bit_flips(ray_session):
+    """Flips confined to the top 16 bits — invisible to the old single
+    top-prefix bucket — are caught because the other three bands still
+    match (pigeonhole: hamming <= 3 < 4 bands => exact recall)."""
+    from greenocr_ray.functions.dedup import simhash_near_dups_from_table
+
+    tbl = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "simhash": pa.array(
+                    # 1 vs 2: two flips, both in the TOP band (bits 60, 50)
+                    # 3: one flip in each of the 4 bands vs doc 1 -> ham 4
+                    [0, (1 << 60) | (1 << 50),
+                     (1 << 2) | (1 << 17) | (1 << 33) | (1 << 49)],
+                    type=pa.uint64(),
+                ),
+            }
+        )
+    )
+    out = simhash_near_dups_from_table(tbl, max_hamming=3)
+    assert list(zip(out["doc_a"], out["doc_b"])) == [(1, 2)]
+    assert list(out["hamming"]) == [2]
+
+
+def test_pair_jaccards_distributed_matches_driver(ray_session):
+    """The distributed shingle-join verification scores pairs exactly
+    like the driver fold (byte-identical floats)."""
+    from greenocr_ray.functions.dedup import pair_jaccards
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy dog tonight",
+        "completely different content with other words entirely",
+        "the quick brown fox naps under the lazy dog today",
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "text": texts,
+            }
+        )
+    )
+    cand = pd.DataFrame(
+        {"doc_a": [1, 1, 2], "doc_b": [2, 3, 4]}, dtype="int64"
+    )
+    a = pair_jaccards(ds, cand)
+    b = pair_jaccards(ds, cand, force_distributed=True)
+    np.testing.assert_array_equal(a, b)
+    assert a[0] > 0.5 > a[1]
+
+
 def test_exact_dedup_broadcasts_only_dup_groups(ray_session):
     """The dedup filter's broadcast side is bounded by the number of
     DUPLICATED distinct texts, not corpus cardinality."""
