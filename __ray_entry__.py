@@ -66,20 +66,12 @@ def _q_extract_spans(sf_dir: str) -> Any:
     )
 
 
-def _q_extract_verify(sf_dir: str) -> Any:
-    """Self-verifying extraction: compares extracted spans against the
-    derivation's expected spans; returns per-doc match flags."""
+def _spans_match_frame(res, paths) -> Any:
+    """Per-doc match flags: extracted (doc_id -> spans) vs the
+    derivation's expected spans (span-sequence equality on
+    (kind, text, media_ref, order) — the BASELINE.json invariant)."""
     import pandas as pd
-    import ray.data as rd
 
-    from greenocr_ray.pipelines.extract import ExtractOptions, extract_dataset
-
-    paths = _interleaved(sf_dir, max_docs=200)
-    docs = rd.read_parquet(paths["documents"], columns=["doc_id", "spans"])
-    media = rd.read_parquet(paths["media"])
-    res = extract_dataset(
-        docs, media, ExtractOptions(ocr_concurrency=(1, 8))
-    ).to_pandas().set_index("doc_id")
     exp = pq.read_table(
         paths["documents"], columns=["doc_id", "expected_spans"]
     ).to_pandas().set_index("doc_id")
@@ -99,6 +91,44 @@ def _q_extract_verify(sf_dir: str) -> Any:
         )
         rows.append({"doc_id": doc_id, "spans_match": got == want})
     return pd.DataFrame(rows)
+
+
+def _q_extract_verify(sf_dir: str) -> Any:
+    """Self-verifying extraction: compares extracted spans against the
+    derivation's expected spans; returns per-doc match flags."""
+    import ray.data as rd
+
+    from greenocr_ray.pipelines.extract import ExtractOptions, extract_dataset
+
+    paths = _interleaved(sf_dir, max_docs=200)
+    docs = rd.read_parquet(paths["documents"], columns=["doc_id", "spans"])
+    media = rd.read_parquet(paths["media"])
+    res = extract_dataset(
+        docs, media, ExtractOptions(ocr_concurrency=(1, 8))
+    ).to_pandas().set_index("doc_id")
+    return _spans_match_frame(res, paths)
+
+
+def _q_extract_png_verify(sf_dir: str) -> Any:
+    """Extraction over PNG-ENCODED media payloads (the reference's
+    real input format, exe_t.py:482): the media table is re-encoded
+    PNG by a map_batches stage, the OCR actors sniff + decode with the
+    pure-numpy codec, and the output must still match the expected
+    spans doc-for-doc."""
+    import ray.data as rd
+
+    from greenocr_ray.functions.multimodal import encode_media_png
+    from greenocr_ray.pipelines.extract import ExtractOptions, extract_dataset
+
+    paths = _interleaved(sf_dir, max_docs=200)
+    docs = rd.read_parquet(paths["documents"], columns=["doc_id", "spans"])
+    media = rd.read_parquet(paths["media"]).map_batches(
+        encode_media_png, batch_format="pyarrow"
+    )
+    res = extract_dataset(
+        docs, media, ExtractOptions(ocr_concurrency=(1, 8))
+    ).to_pandas().set_index("doc_id")
+    return _spans_match_frame(res, paths)
 
 
 def _q_extract_sharded_verify(sf_dir: str) -> Any:
@@ -120,25 +150,7 @@ def _q_extract_sharded_verify(sf_dir: str) -> Any:
     import pyarrow.parquet as _pq
 
     res = _pq.read_table(out_dir).to_pandas().set_index("doc_id")
-    exp = pq.read_table(
-        paths["documents"], columns=["doc_id", "expected_spans"]
-    ).to_pandas().set_index("doc_id")
-    rows = []
-    for doc_id in exp.index:
-        want = [
-            (s["kind"], s["text"], s["media_ref"], s["offset"])
-            for s in exp.loc[doc_id, "expected_spans"]
-        ]
-        got = (
-            [
-                (s["kind"], s["text"], s["media_ref"], s["offset"])
-                for s in res.loc[doc_id, "spans"]
-            ]
-            if doc_id in res.index
-            else []
-        )
-        rows.append({"doc_id": doc_id, "spans_match": got == want})
-    return pd.DataFrame(rows)
+    return _spans_match_frame(res, paths)
 
 
 def _q_token_counts(sf_dir: str) -> Any:
@@ -349,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship extraction (non-SQL: OCR + span assembly)
         "extract_spans": _q_extract_spans,
         "extract_verify": _q_extract_verify,
+        "extract_png_verify": _q_extract_png_verify,
         "extract_sharded_verify": _q_extract_sharded_verify,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
@@ -415,6 +428,11 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             ) ORDER BY doc_id
         """,
         "extract_sharded_verify": f"""
+            SELECT doc_id, TRUE AS spans_match FROM (
+                SELECT DISTINCT doc_id FROM read_parquet('{expected_flat}')
+            ) ORDER BY doc_id
+        """,
+        "extract_png_verify": f"""
             SELECT doc_id, TRUE AS spans_match FROM (
                 SELECT DISTINCT doc_id FROM read_parquet('{expected_flat}')
             ) ORDER BY doc_id

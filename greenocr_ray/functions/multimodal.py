@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .. import kernels
+from .. import kernels, png
 
 RAW_FORMAT = "raw-gray-u8"  # row-major uint8 grayscale, len == w*h
 
@@ -23,7 +23,11 @@ def valid_payload(raw, w, h) -> bool:
     """Skip-and-continue guard (the reference's per-row error policy):
     malformed media rows — null payload, null/NaN/non-positive dims,
     or a payload shorter than w*h — must not crash the stage."""
-    if raw is None or w is None or h is None:
+    if raw is None:
+        return False
+    if raw[:8] == png.SIGNATURE:
+        return True  # dims come from the PNG header, not the metadata
+    if w is None or h is None:
         return False
     try:
         wf, hf = float(w), float(h)
@@ -37,7 +41,15 @@ def valid_payload(raw, w, h) -> bool:
 
 
 def decode_raster(raw: bytes, width: int, height: int, fmt: str = RAW_FORMAT) -> np.ndarray:
-    """binary payload -> HxW float32 [0,1]."""
+    """binary payload -> HxW float32 [0,1] grayscale.
+
+    PNG payloads (the reference's real input format, exe_t.py:482) are
+    decoded with the pure-numpy codec in ``greenocr_ray.png`` — no
+    codec library needed. A payload carrying the PNG signature is
+    decoded as PNG regardless of ``fmt`` (content sniffing), so mixed
+    raw/PNG media tables need no format column."""
+    if raw[:8] == png.SIGNATURE:
+        fmt = "png"
     if fmt == RAW_FORMAT:
         return (
             np.frombuffer(raw, dtype=np.uint8)
@@ -45,12 +57,28 @@ def decode_raster(raw: bytes, width: int, height: int, fmt: str = RAW_FORMAT) ->
             .astype(np.float32)
             / np.float32(255.0)
         )
-    if fmt in ("png", "jpeg"):
+    if fmt == "png":
+        arr = png.decode_png(raw)
+        if arr.ndim == 2:
+            return arr.astype(np.float32) / np.float32(255.0)
+        if arr.shape[2] == 2:  # gray + alpha: composite over white
+            a = arr.astype(np.float32) / np.float32(255.0)
+            return a[:, :, 0] * a[:, :, 1] + (np.float32(1.0) - a[:, :, 1])
+        return kernels.to_grayscale(arr)
+    if fmt == "jpeg":
         raise NotImplementedError(
-            f"{fmt} decode requires an image codec library not present in "
-            "this environment; payloads must be pre-decoded to raw-gray-u8"
+            "jpeg decode requires a codec library not present in this "
+            "environment; use PNG or raw-gray-u8 payloads"
         )
     raise ValueError(f"unknown media format {fmt!r}")
+
+
+def _decode_row(raw: bytes, w, h) -> np.ndarray:
+    """decode_raster for a validated row: PNG dims come from the
+    header, so metadata w/h are only trusted for raw payloads."""
+    if raw[:8] == png.SIGNATURE:
+        return decode_raster(raw, 0, 0, fmt="png")
+    return decode_raster(raw, int(w), int(h))
 
 
 def sample_video_frames(raw: bytes, every_n: int = 30):
@@ -64,6 +92,25 @@ def extract_audio_features(raw: bytes, sample_rate: int = 16000):
     raise NotImplementedError(
         "audio decode requires a codec library not present in this environment"
     )
+
+
+def encode_media_png(batch: pa.Table) -> pa.Table:
+    """raw-gray-u8 media rows -> the same rows with PNG-encoded
+    payloads (schema unchanged; downstream stages sniff the PNG
+    signature). Fixture/derivation helper for exercising the PNG
+    decode path end-to-end."""
+    widths = batch.column("width").to_numpy()
+    heights = batch.column("height").to_numpy()
+    payloads = batch.column("pixels").to_pylist()
+    out = []
+    for raw, w, h in zip(payloads, widths, heights):
+        if not valid_payload(raw, w, h) or raw[:8] == png.SIGNATURE:
+            out.append(raw)
+            continue
+        img = np.frombuffer(raw, dtype=np.uint8).reshape(int(h), int(w))
+        out.append(png.encode_png(img))
+    i = batch.schema.get_field_index("pixels")
+    return batch.set_column(i, "pixels", pa.array(out, type=pa.binary()))
 
 
 class ImageResizeStage:
@@ -85,7 +132,7 @@ class ImageResizeStage:
                 out_h.append(0)
                 out_w.append(0)
                 continue
-            img = decode_raster(raw, int(w), int(h))
+            img = _decode_row(raw, w, h)
             resized = kernels.resize_keep_aspect(img, self.target_h)
             u8 = np.clip(np.round(resized * 255.0), 0, 255).astype(np.uint8)
             out_px.append(u8.tobytes())
@@ -117,7 +164,7 @@ class ImageFeatureStage:
         for i, (raw, w, h) in enumerate(zip(payloads, widths, heights)):
             if not valid_payload(raw, w, h):
                 continue  # feature row stays all-zero
-            img = decode_raster(raw, int(w), int(h))
+            img = _decode_row(raw, w, h)
             mask = kernels.binarize(img, "otsu")
             density[i] = float(mask.mean())
             p1, p99 = np.percentile(img, [1, 99])

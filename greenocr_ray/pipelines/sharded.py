@@ -50,6 +50,8 @@ import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 import ray.data as rd
 
+from .. import png
+from ..functions.multimodal import decode_raster
 from ..recognize import Recognizer
 from ..stages.clean_text import clean_text_spans
 from ..stages.explode import assemble_docs, explode_spans
@@ -144,8 +146,19 @@ class ShardExtractor:
         px = tbl.column("pixels").to_pylist()
         for i, ref in enumerate(refs):
             raw = px[i]
-            if raw is None or not (np.isfinite(ws[i]) and np.isfinite(hs[i])):
+            if raw is None:
                 out[ref] = ("", 0.0)  # skip-and-continue semantics
+                continue
+            if raw[:8] == png.SIGNATURE:  # PNG payload: dims from header
+                try:
+                    img = decode_raster(raw, 0, 0, fmt="png")
+                except ValueError:
+                    out[ref] = ("", 0.0)
+                    continue
+                out[ref] = self.recognizer.recognize(img)
+                continue
+            if not (np.isfinite(ws[i]) and np.isfinite(hs[i])):
+                out[ref] = ("", 0.0)
                 continue
             w, h = int(ws[i]), int(hs[i])
             if len(raw) != w * h:

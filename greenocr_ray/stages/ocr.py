@@ -19,6 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .. import png
+from ..functions.multimodal import decode_raster
 from ..recognize import Recognizer
 
 # media payloads are large (a wide scan is ~100 KB raw); keep OCR
@@ -45,23 +47,35 @@ class _RecognizerBase:
             # skip-and-log semantics (exe_t.py:319-336): emit an empty
             # OCR span rather than failing the partition. Null dims
             # arrive as NaN through to_numpy — guard BEFORE int().
-            if raw is None or not (
-                np.isfinite(widths[i]) and np.isfinite(heights[i])
-            ):
+            if raw is None:
                 texts.append("")
                 confs[i] = 0.0
                 continue
-            w, h = int(widths[i]), int(heights[i])
-            if len(raw) != w * h:
-                texts.append("")
-                confs[i] = 0.0
-                continue
-            img = (
-                np.frombuffer(raw, dtype=np.uint8)
-                .reshape(h, w)
-                .astype(np.float32)
-                / np.float32(255.0)
-            )
+            if raw[:8] == png.SIGNATURE:
+                # the reference's actual input format (exe_t.py:482):
+                # dims come from the PNG header, not row metadata
+                try:
+                    img = decode_raster(raw, 0, 0, fmt="png")
+                except ValueError:
+                    texts.append("")
+                    confs[i] = 0.0
+                    continue
+            else:
+                if not (np.isfinite(widths[i]) and np.isfinite(heights[i])):
+                    texts.append("")
+                    confs[i] = 0.0
+                    continue
+                w, h = int(widths[i]), int(heights[i])
+                if len(raw) != w * h:
+                    texts.append("")
+                    confs[i] = 0.0
+                    continue
+                img = (
+                    np.frombuffer(raw, dtype=np.uint8)
+                    .reshape(h, w)
+                    .astype(np.float32)
+                    / np.float32(255.0)
+                )
             text, conf = self.recognizer.recognize(img)
             texts.append(text)
             confs[i] = conf
