@@ -334,6 +334,34 @@ def _q_near_dup_embeddings(sf_dir: str) -> Any:
     return embedding_near_dup_pairs(ds, threshold=0.35)
 
 
+def _q_near_dup_embeddings_blocked(sf_dir: str) -> Any:
+    """Same exact semantics as near_dup_embeddings, forced through
+    multiple chunks (chunk_rows=128 -> 4 chunks, 10 chunk-pair tasks
+    at sf0.01) — proves the blocked distributed path end-to-end
+    against the same oracle."""
+    import ray.data as rd
+
+    from greenocr_ray.functions.similarity import embedding_near_dup_pairs
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return embedding_near_dup_pairs(ds, threshold=0.35, chunk_rows=128)
+
+
+def _q_near_dup_embeddings_lsh(sf_dir: str) -> Any:
+    """Approximate LSH-bucketed near-dup pairs (the 100-TB path;
+    recall ~0.999 at sim >= 0.8 by construction, so a high threshold)."""
+    import ray.data as rd
+
+    from greenocr_ray.functions.similarity import embedding_near_dup_pairs_lsh
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return embedding_near_dup_pairs_lsh(ds, threshold=0.4, nbits=4, n_tables=16)
+
+
 def _q_knn_ivf(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -396,6 +424,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_lsh": _q_knn_lsh,
         "knn_cosine_ivf": _q_knn_ivf,
         "near_dup_embeddings": _q_near_dup_embeddings,
+        "near_dup_embeddings_blocked": _q_near_dup_embeddings_blocked,
+        "near_dup_embeddings_lsh": _q_near_dup_embeddings_lsh,
     }
 
 
@@ -616,6 +646,16 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                 SELECT DISTINCT unnest(string_split(text, '')) AS ch
                 FROM documents
             ) ORDER BY ch
+        """,
+        "near_dup_embeddings_blocked": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.35
+            ORDER BY vec_a, vec_b
         """,
         "near_dup_embeddings": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -130,72 +130,176 @@ def knn_cosine_lsh(
 # --------------------------------------------- embedding near-duplicates
 
 
-def embedding_near_dup_pairs(
-    embeddings: rd.Dataset, threshold: float = 0.8
-) -> pd.DataFrame:
-    """EXACT cosine near-duplicate pairs (vec_a < vec_b, sim >= t).
+_EMPTY_PAIRS = {
+    "vec_a": pd.Series([], dtype="int64"),
+    "vec_b": pd.Series([], dtype="int64"),
+    "cos_sim": pd.Series([], dtype="float64"),
+}
 
-    Block-matmul all-pairs: the L2-normalized corpus matrix is
-    broadcast ONCE (``ray.put``); each batch multiplies its rows
-    against it and emits only pairs above threshold — O(n^2) flops but
-    fully distributed, zero shuffle, and only the (sparse) qualifying
-    pairs leave the tasks. Valid while the normalized matrix fits a
-    worker's heap (~3 GB at 10M x 64-d float32); beyond that, use the
-    LSH-bucketed approximate variant below.
-    """
-    ids_all: list[np.ndarray] = []
-    mats: list[np.ndarray] = []
+
+def embedding_near_dup_pairs(
+    embeddings: rd.Dataset,
+    threshold: float = 0.8,
+    chunk_rows: int = 65536,
+) -> pd.DataFrame:
+    """EXACT cosine near-duplicate pairs (vec_a < vec_b, sim >= t) by
+    blocked chunk-pair matmul.
+
+    The corpus streams through the driver ONE CHUNK AT A TIME; each
+    L2-normalized chunk goes straight into the object store
+    (``ray.put``) and the driver keeps only its ObjectRef — the full
+    matrix never materializes anywhere. The C*(C+1)/2 chunk pairs
+    then fan out as a Dataset of (i, j) specs; each task pulls two
+    chunks (zero-copy reads, spillable), multiplies, and emits only
+    the sparse qualifying pairs. O(n^2) flops are inherent to EXACT
+    all-pairs — for corpora where that is unaffordable use the
+    LSH-bucketed ``embedding_near_dup_pairs_lsh`` below. Memory:
+    driver O(chunk), task O(2 chunks) (~64 MB at the default
+    chunk_rows x 64-d float64)."""
+    chunk_refs: list = []
+    buf_ids: list[np.ndarray] = []
+    buf_m: list[np.ndarray] = []
+    n_buf = 0
+
+    def flush():
+        nonlocal buf_ids, buf_m, n_buf
+        if not n_buf:
+            return
+        ids = np.concatenate(buf_ids)
+        m = np.concatenate(buf_m).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        chunk_refs.append(ray.put((ids, m / norms)))
+        buf_ids, buf_m, n_buf = [], [], 0
+
     for b in embeddings.iter_batches(batch_size=8192, batch_format="pyarrow"):
         i, m = _batch_matrix(b)
-        ids_all.append(i)
-        mats.append(m)
-    if not ids_all:  # empty embeddings table -> empty pair frame
-        return pd.DataFrame(
-            {"vec_a": pd.Series([], dtype="int64"),
-             "vec_b": pd.Series([], dtype="int64"),
-             "cos_sim": pd.Series([], dtype="float64")}
-        )
-    ids = np.concatenate(ids_all)
-    m = np.concatenate(mats).astype(np.float64)
-    norms = np.linalg.norm(m, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    mn = m / norms
-    order = np.argsort(ids)
-    ids, mn = ids[order], mn[order]
-    ref = ray.put((ids, mn))  # float64: oracle compares at 6 decimals
+        buf_ids.append(i)
+        buf_m.append(m)
+        n_buf += len(i)
+        if n_buf >= chunk_rows:
+            flush()
+    flush()
+    if not chunk_refs:  # empty embeddings table -> empty pair frame
+        return pd.DataFrame(_EMPTY_PAIRS)
 
-    def pairs(batch: pa.Table) -> pd.DataFrame:
-        all_ids, corpus = ray.get(ref)
-        bids, bm = _batch_matrix(batch)
-        bnorm = np.linalg.norm(bm, axis=1, keepdims=True)
-        bnorm[bnorm == 0] = 1.0
-        sims = (bm / bnorm) @ corpus.T
-        out_a, out_b, out_s = [], [], []
-        for r in range(sims.shape[0]):
-            hit = np.nonzero(sims[r] >= threshold)[0]
-            for c in hit:
-                a, bb = int(bids[r]), int(all_ids[c])
-                if a < bb:  # dedupe + drop self
-                    out_a.append(a)
-                    out_b.append(bb)
-                    out_s.append(float(sims[r, c]))
-        return pd.DataFrame(
+    specs = [
+        {"i": i, "j": j}
+        for i in range(len(chunk_refs))
+        for j in range(i, len(chunk_refs))
+    ]
+    refs = chunk_refs  # captured by the closure; refs ship, not chunks
+
+    def chunk_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for i, j in zip(batch["i"], batch["j"]):
+            ids_a, ma = ray.get(refs[int(i)])
+            ids_b, mb = ray.get(refs[int(j)])
+            sims = ma @ mb.T
+            r, c = np.nonzero(sims >= threshold)
+            if i == j:  # within-chunk: upper triangle only
+                keep = ids_a[r] < ids_b[c]
+            else:
+                keep = np.ones(len(r), dtype=bool)
+            ra, cb, s = ids_a[r[keep]], ids_b[c[keep]], sims[r[keep], c[keep]]
+            lo = np.minimum(ra, cb)
+            hi = np.maximum(ra, cb)
+            drop_self = lo != hi
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": pd.Series(lo[drop_self], dtype="int64"),
+                        "vec_b": pd.Series(hi[drop_self], dtype="int64"),
+                        # half-away rounding matches DuckDB ROUND
+                        "cos_sim": pd.Series(
+                            _round_half_away(s[drop_self], 6), dtype="float64"
+                        ),
+                    }
+                )
+            )
+        return (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(_EMPTY_PAIRS)
+        )
+
+    out = (
+        rd.from_items(specs)
+        .map_batches(chunk_pairs, batch_format="pandas", batch_size=1)
+        .to_pandas()
+    )
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def embedding_near_dup_pairs_lsh(
+    embeddings: rd.Dataset,
+    threshold: float = 0.8,
+    nbits: int = 6,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> pd.DataFrame:
+    """APPROXIMATE cosine near-dup pairs: the 100-TB path.
+
+    ``n_tables`` independent random-hyperplane tables bucket every
+    vector (one flat_map-style explode, ONE groupby shuffle on
+    (table, bucket)); all-pairs matmul runs only inside buckets and
+    the union of tables is deduped. Recall for a pair at similarity s:
+    1-(1-p^nbits)^n_tables with p = 1-arccos(s)/pi — ~0.999 at
+    s >= 0.8 with the defaults, falling fast below s ~ 0.6: this is a
+    NEAR-DUP detector, not an all-pairs scan (use the exact blocked
+    variant when O(n^2) is affordable)."""
+    indexers = [
+        LshIndexer(dim=dim, nbits=nbits, seed=1000 + t) for t in range(n_tables)
+    ]
+
+    def bucket_rows(batch: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(batch)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = m / norms
+        n = len(ids)
+        out_id = np.tile(ids, n_tables)
+        out_tbl = np.repeat(np.arange(n_tables, dtype=np.int32), n)
+        out_bkt = np.concatenate([ix.bucket_of(mn) for ix in indexers])
+        emb = np.tile(mn, (n_tables, 1))
+        return pa.table(
             {
-                "vec_a": pd.Series(out_a, dtype="int64"),
-                "vec_b": pd.Series(out_b, dtype="int64"),
-                # half-away rounding matches DuckDB ROUND (numpy
-                # rounds half-to-even; diverges exactly on 6th-decimal
-                # halves, the events_hourly-at-scale failure class)
-                "cos_sim": pd.Series(_round_half_away(out_s, 6), dtype="float64"),
+                "vec_id": pa.array(out_id, type=pa.int64()),
+                "table_id": pa.array(out_tbl),
+                "bucket": pa.array(out_bkt, type=pa.int64()),
+                "embedding": pa.array(list(emb)),
             }
         )
 
-    return (
-        embeddings.map_batches(pairs, batch_format="pyarrow", batch_size=2048)
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        ids = g["vec_id"].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
+        sims = m @ m.T
+        r, c = np.nonzero(np.triu(sims >= threshold, k=1))
+        keep = ids[r] != ids[c]  # a vec can share several buckets
+        lo = np.minimum(ids[r[keep]], ids[c[keep]])
+        hi = np.maximum(ids[r[keep]], ids[c[keep]])
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(lo, dtype="int64"),
+                "vec_b": pd.Series(hi, dtype="int64"),
+                "cos_sim": pd.Series(
+                    _round_half_away(sims[r[keep], c[keep]], 6),
+                    dtype="float64",
+                ),
+            }
+        )
+
+    out = (
+        embeddings.map_batches(bucket_rows, batch_format="pyarrow")
+        .groupby(["table_id", "bucket"])
+        .map_groups(pairs_in_bucket, batch_format="pandas")
         .to_pandas()
-        .sort_values(["vec_a", "vec_b"])
-        .reset_index(drop=True)
     )
+    out = out.drop_duplicates(["vec_a", "vec_b"])
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
 # ----------------------------------------------------------- IVF index

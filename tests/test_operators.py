@@ -125,6 +125,46 @@ def test_embedding_near_dup_exact(ray_session):
     assert out.iloc[0]["cos_sim"] > 0.99
 
 
+def test_embedding_near_dup_blocked_matches_single_chunk(ray_session):
+    """Forcing many chunks (chunk_rows=5 -> 5 chunks, 15 chunk-pair
+    tasks over 22 vecs) produces exactly the single-chunk result."""
+    ds = _emb_ds()
+    a = embedding_near_dup_pairs(ds, threshold=0.3)
+    b = embedding_near_dup_pairs(ds, threshold=0.3, chunk_rows=5)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 1  # exercise more than the planted pair
+
+
+def test_embedding_near_dup_lsh_finds_planted_dups(ray_session):
+    """At a near-dup threshold the LSH path recalls exactly the
+    planted pairs the exact scan finds."""
+    from greenocr_ray.functions.similarity import embedding_near_dup_pairs_lsh
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    vecs = []
+    for i in range(10):  # 10 planted dup pairs + 30 random vecs
+        base = rng.standard_normal(64)
+        vecs += [base, base + 0.05 * rng.standard_normal(64)]
+    vecs += [rng.standard_normal(64) for _ in range(30)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs],
+                    type=pa.list_(pa.float64()),
+                ),
+            }
+        )
+    )
+    exact = embedding_near_dup_pairs(ds, threshold=0.9)
+    approx = embedding_near_dup_pairs_lsh(ds, threshold=0.9)
+    pd.testing.assert_frame_equal(exact, approx)
+    assert list(zip(exact["vec_a"], exact["vec_b"])) == [
+        (2 * i, 2 * i + 1) for i in range(10)
+    ]
+
+
 def test_ivf_subset_of_exact(ray_session):
     ds = _emb_ds()
     q = np.asarray(
