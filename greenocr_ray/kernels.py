@@ -527,54 +527,142 @@ def column_segments(
 
 
 def connected_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
-    """4-connected component labeling (two-pass union-find), pure numpy.
+    """4-connected component labeling, run-based two-pass union-find.
 
-    Returns (labels HxW int32 with 0 = background, n_components).
-    Used by the line/word grouping path for non-grid glyph layouts.
+    Vectorized over RUNS, not pixels: horizontal foreground runs are
+    extracted with one ``np.diff`` over the whole image, consecutive
+    rows' runs are merged with a two-pointer sweep (O(#runs) total, a
+    few per text row vs thousands of pixels), and the final labels are
+    painted with a single flat scatter. Replaces a per-pixel Python
+    loop that was ~100x slower on page-sized masks.
+
+    Returns (labels HxW int32 with 0 = background, n_components),
+    components numbered 1..n in raster order of first appearance.
     """
     h, w = mask.shape
+    m = np.ascontiguousarray(mask.astype(bool))
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1:-1] = m
+    d = np.diff(padded, axis=1)
+    run_rows, run_c0 = np.nonzero(d == 1)  # run starts, raster order
+    _, run_c1 = np.nonzero(d == -1)  # matching exclusive ends
+    n_runs = len(run_rows)
     labels = np.zeros((h, w), dtype=np.int32)
-    parent = [0]  # parent[0] unused
+    if n_runs == 0:
+        return labels, 0
+    parent = np.arange(n_runs, dtype=np.int64)
 
     def find(x: int) -> int:
         root = x
         while parent[root] != root:
             root = parent[root]
         while parent[x] != root:
-            parent[x], x = root, parent[x]
+            parent[x], x = root, int(parent[x])
         return root
 
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    nxt = 1
-    for y in range(h):
-        row = mask[y]
-        for x in range(w):
-            if not row[x]:
-                continue
-            up = labels[y - 1, x] if y > 0 else 0
-            left = labels[y, x - 1] if x > 0 else 0
-            if up and left:
-                labels[y, x] = min(up, left)
-                union(up, left)
-            elif up or left:
-                labels[y, x] = up or left
+    # row slices into the run arrays (runs are sorted by row)
+    row_start = np.searchsorted(run_rows, np.arange(h + 1))
+    for y in range(1, h):
+        a0, a1 = int(row_start[y - 1]), int(row_start[y])  # prev row runs
+        b0, b1 = int(row_start[y]), int(row_start[y + 1])  # this row runs
+        i, j = a0, b0
+        while i < a1 and j < b1:  # two-pointer interval overlap
+            if run_c1[i] <= run_c0[j]:
+                i += 1
+            elif run_c1[j] <= run_c0[i]:
+                j += 1
             else:
-                parent.append(nxt)
-                labels[y, x] = nxt
-                nxt += 1
-    # second pass: flatten
-    remap = np.zeros(nxt, dtype=np.int32)
-    roots: dict[int, int] = {}
-    for lbl in range(1, nxt):
-        r = find(lbl)
-        if r not in roots:
-            roots[r] = len(roots) + 1
-        remap[lbl] = roots[r]
-    return remap[labels], len(roots)
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+                # advance the run that ends first (it can't overlap
+                # the next run on the other row)
+                if run_c1[i] < run_c1[j]:
+                    i += 1
+                else:
+                    j += 1
+    roots = np.fromiter((find(i) for i in range(n_runs)), dtype=np.int64)
+    uniq, remapped = np.unique(roots, return_inverse=True)
+    # renumber roots 1..n in raster order of first appearance
+    first_pos = np.full(len(uniq), n_runs, dtype=np.int64)
+    np.minimum.at(first_pos, remapped, np.arange(n_runs))
+    order = np.argsort(first_pos, kind="stable")
+    rank = np.empty(len(uniq), dtype=np.int32)
+    rank[order] = np.arange(1, len(uniq) + 1, dtype=np.int32)
+    run_label = rank[remapped]
+    # paint all runs with one flat scatter
+    lengths = (run_c1 - run_c0).astype(np.int64)
+    tot = int(lengths.sum())
+    flat_starts = run_rows.astype(np.int64) * w + run_c0
+    offs = np.arange(tot) - np.repeat(np.cumsum(lengths) - lengths, lengths)
+    labels.ravel()[np.repeat(flat_starts, lengths) + offs] = np.repeat(
+        run_label, lengths
+    )
+    return labels, len(uniq)
+
+
+def component_boxes(labels: np.ndarray, n: int) -> np.ndarray:
+    """(n, 5) array per component 1..n: [y0, y1, x0, x1, area]
+    (y1/x1 exclusive), vectorized with np.minimum/maximum.at."""
+    ys, xs = np.nonzero(labels)
+    lbl = labels[ys, xs] - 1
+    out = np.zeros((n, 5), dtype=np.int64)
+    out[:, 0] = labels.shape[0]
+    out[:, 2] = labels.shape[1]
+    np.minimum.at(out[:, 0], lbl, ys)
+    np.maximum.at(out[:, 1], lbl, ys + 1)
+    np.minimum.at(out[:, 2], lbl, xs)
+    np.maximum.at(out[:, 3], lbl, xs + 1)
+    np.add.at(out[:, 4], lbl, 1)
+    return out
+
+
+def segment_lines_cc(
+    mask: np.ndarray, min_area: int = 4
+) -> list[list[tuple[int, int, int, int]]]:
+    """Connected-component line/word grouping for page layouts the
+    projection-profile bands can't serve (multi-column pages, ragged
+    baselines — the north star's 'line/word segmentation').
+
+    Components group into lines by vertical-interval overlap with the
+    line's running y-range (>=50% of the smaller height); lines sort
+    top-to-bottom, components within a line left-to-right (§2.6
+    geometric order contract). Returns [[(y0, y1, x0, x1), ...], ...].
+    """
+    labels, n = connected_components(mask)
+    if n == 0:
+        return []
+    boxes = component_boxes(labels, n)
+    boxes = boxes[boxes[:, 4] >= min_area]
+    if len(boxes) == 0:
+        return []
+    order = np.argsort(boxes[:, 0], kind="stable")  # by top edge
+    lines: list[dict] = []
+    for b in boxes[order]:
+        y0, y1 = int(b[0]), int(b[1])
+        best = None
+        for ln in lines:
+            ov = min(y1, ln["y1"]) - max(y0, ln["y0"])
+            if ov >= 0.5 * min(y1 - y0, ln["y1"] - ln["y0"]):
+                best = ln
+                break
+        if best is None:
+            lines.append({"y0": y0, "y1": y1, "boxes": [b]})
+        else:
+            best["boxes"].append(b)
+            best["y0"] = min(best["y0"], y0)
+            best["y1"] = max(best["y1"], y1)
+    lines.sort(key=lambda ln: (ln["y0"], ln["y1"]))
+    return [
+        [
+            (int(b[0]), int(b[1]), int(b[2]), int(b[3]))
+            for b in sorted(ln["boxes"], key=lambda bb: (int(bb[2]), int(bb[3])))
+        ]
+        for ln in lines
+    ]
 
 
 # ------------------------------------------------- CTC geometry (P8/P10)

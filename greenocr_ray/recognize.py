@@ -113,6 +113,10 @@ class Recognizer:
         deskewed, _angle = kernels.deskew(enhanced)
         mask = kernels.binarize(deskewed, method=self.binarization)
         mask = self._despeckle(mask)
+        return self._recognize_mask(mask)
+
+    def _recognize_mask(self, mask: np.ndarray) -> tuple[str, float]:
+        """Single-line recognition over a binarized 0/1 mask."""
         bands = [b for b in kernels.row_bands(mask, min_ink=2) if b[1] - b[0] >= 4]
         if not bands:
             return "", 0.0
@@ -152,3 +156,64 @@ class Recognizer:
             confs.append(float(scores[k]))
         text = normalize_whitespace("".join(out))
         return text, float(np.mean(confs)) if confs else 0.0
+
+    # ------------------------------------------------------ page layout
+
+    def recognize_page(self, img: np.ndarray) -> tuple[str, float]:
+        """Multi-line / multi-column page -> (text, mean_confidence).
+
+        The north-star 'line/word segmentation' path the projection
+        bands can't serve: column gutters are detected from the page's
+        column ink projection (wide blank verticals), then connected
+        components group into lines per column (``segment_lines_cc``),
+        each recognized with the single-line path. Reading order:
+        columns left-to-right, lines top-to-bottom, glyphs
+        left-to-right (§2.6 geometric contract). On a single-line
+        strip this degrades exactly to ``recognize``'s segmentation
+        (one column, one CC line group == the projection band)."""
+        enhanced = self._enhance(img.astype(np.float32))
+        deskewed, _angle = kernels.deskew(enhanced)
+        mask = kernels.binarize(deskewed, method=self.binarization)
+        mask = self._despeckle(mask)
+        # a column gutter is far wider than an inter-word space
+        gutter_px = 3 * SPACE_GAP_THRESHOLD_U * self.scale
+        columns = kernels.column_segments(
+            mask, min_gap=gutter_px, min_ink=2
+        ) or [(0, mask.shape[1])]
+        texts: list[str] = []
+        confs: list[float] = []
+        for cx0, cx1 in columns:
+            col = mask[:, cx0:cx1]
+            groups = kernels.segment_lines_cc(col, min_area=4)
+            for boxes in self._merge_close_lines(groups):
+                y0 = min(b[0] for b in boxes)
+                y1 = max(b[1] for b in boxes)
+                t, c = self._recognize_mask(col[y0:y1, :])
+                if t:
+                    texts.append(t)
+                    confs.append(c)
+        text = normalize_whitespace(" ".join(texts))
+        return text, float(np.mean(confs)) if confs else 0.0
+
+    @staticmethod
+    def _merge_close_lines(
+        groups: list[list[tuple[int, int, int, int]]],
+    ) -> list[list[tuple[int, int, int, int]]]:
+        """Merge CC line groups separated by less than a quarter of the
+        taller group's height — diacritics/i-dots whose components
+        don't y-overlap their stem line must not become their own
+        'line'."""
+        merged: list[list[tuple[int, int, int, int]]] = []
+        for boxes in groups:
+            if merged:
+                prev = merged[-1]
+                py0 = min(b[0] for b in prev)
+                py1 = max(b[1] for b in prev)
+                y0 = min(b[0] for b in boxes)
+                y1 = max(b[1] for b in boxes)
+                gap = y0 - py1
+                if gap < 0.25 * max(py1 - py0, y1 - y0):
+                    merged[-1] = prev + boxes
+                    continue
+            merged.append(list(boxes))
+        return merged

@@ -30,9 +30,19 @@ OCR_BATCH_SIZE = 32
 
 
 class _RecognizerBase:
-    def __init__(self, enhance: str = "clahe", binarization: str = "otsu"):
+    def __init__(
+        self,
+        enhance: str = "clahe",
+        binarization: str = "otsu",
+        layout: str = "line",  # 'line' strips | 'page' (CC multi-line/column)
+    ):
         # once per actor: the 'model load' (cf. exe_t.py:461-471 torch.load)
         self.recognizer = Recognizer(enhance=enhance, binarization=binarization)
+        self._recognize = (
+            self.recognizer.recognize_page
+            if layout == "page"
+            else self.recognizer.recognize
+        )
 
     def _recognize_rows(
         self, batch: pa.Table
@@ -76,7 +86,7 @@ class _RecognizerBase:
                     .astype(np.float32)
                     / np.float32(255.0)
                 )
-            text, conf = self.recognizer.recognize(img)
+            text, conf = self._recognize(img)
             texts.append(text)
             confs[i] = conf
         return texts, confs

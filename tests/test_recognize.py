@@ -61,3 +61,55 @@ def test_empty_image():
     rec = Recognizer()
     got, conf = rec.recognize(np.ones((60, 100), dtype=np.float32))
     assert got == "" and conf == 0.0
+
+
+def _stack_lines(lines, gap_px=24, pad_px=12):
+    """Compose rendered line images into one page (background 1.0)."""
+    w = max(im.shape[1] for im in lines)
+    h = sum(im.shape[0] for im in lines) + gap_px * (len(lines) - 1) + 2 * pad_px
+    page = np.ones((h, w + 2 * pad_px), dtype=np.float32)
+    y = pad_px
+    for im in lines:
+        page[y : y + im.shape[0], pad_px : pad_px + im.shape[1]] = im
+        y += im.shape[0] + gap_px
+    return page
+
+
+def test_page_two_lines_golden():
+    """CC line grouping reads a stacked two-line page top-to-bottom
+    (the multi-line path projection bands can't serve alone)."""
+    page = _stack_lines(
+        [render_line("first line here"), render_line("second one below")]
+    )
+    text, conf = Recognizer().recognize_page(page)
+    assert text == "first line here second one below"
+    assert conf > 0.5
+
+
+def test_page_single_line_matches_recognize():
+    img = render_line("just one strip")
+    rec = Recognizer()
+    assert rec.recognize_page(img)[0] == rec.recognize(img)[0] == "just one strip"
+
+
+def test_page_two_columns_reading_order():
+    """Two columns, two lines each: reading order is column-major
+    (column left-to-right, lines top-to-bottom inside a column)."""
+    left = _stack_lines([render_line("alpha beta"), render_line("gamma delta")])
+    right = _stack_lines([render_line("epsilon zeta"), render_line("eta theta")])
+    h = max(left.shape[0], right.shape[0])
+    gutter = 120  # >> the 3x space-gap gutter threshold
+    page = np.ones((h, left.shape[1] + gutter + right.shape[1]), dtype=np.float32)
+    page[: left.shape[0], : left.shape[1]] = left
+    page[: right.shape[0], left.shape[1] + gutter :] = right
+    text, _ = Recognizer().recognize_page(page)
+    assert text == "alpha beta gamma delta epsilon zeta eta theta"
+
+
+def test_page_degraded_two_lines():
+    rng = np.random.Generator(np.random.PCG64(77))
+    page = _stack_lines(
+        [render_line("noisy page test"), render_line("still reads fine")]
+    )
+    text, _ = Recognizer().recognize_page(degrade(page, rng))
+    assert text == "noisy page test still reads fine"
