@@ -17,6 +17,33 @@ All pipelines are resumable (partition-granular lineage) and verified
 by span-sequence equality on (kind, text, media_ref, order).
 """
 
+def _use_hash_shuffle() -> None:
+    """Engine-wide default: hash-shuffle strategy for groupby/aggregate
+    exchanges (Ray 2.49 defaults to sort-based). Sort-based groupbys
+    SAMPLE their input by truncating upstream execution, which (a)
+    re-executes the whole upstream a second time and (b) previously
+    forced a full materialize barrier between the OCR hash-join and
+    the reassembly groupby. Hash shuffle needs no sampling, so the
+    streaming pipeline runs join -> groupby in one pass. Explicit
+    ``Dataset.sort`` ops are unaffected."""
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # Ray's defaults (200 partitions, up to 64 aggregator actors, 1 CPU
+    # each) reserve more CPUs than small clusters HAVE — the shuffle
+    # operator then deadlocks against the OCR actor pool (observed at
+    # num_cpus=4: 'Shuffle(num_partitions=200)' demanding 16 CPUs).
+    # Cap the defaults to a small fraction; pipelines pass explicit
+    # num_partitions on their groupbys where the data size warrants.
+    ctx.default_hash_shuffle_parallelism = 32
+    ctx.max_hash_shuffle_aggregators = 8
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
+
+
+_use_hash_shuffle()
+
 from . import kernels  # noqa: F401
 from .pipelines.builder import SpanPipeline  # noqa: F401
 from .pipelines.extract import (  # noqa: F401

@@ -24,6 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..rayutil import drop_empty_blocks
 from .relational import round_half_away
 
 _TOKEN_RE = re.compile(r"\w+")
@@ -279,17 +280,26 @@ def pair_jaccards(
 
     sh_ds = docs.map_batches(shingle_rows, batch_format="pyarrow")
 
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
+    # group fns return TYPED ARROW tables: an empty pandas frame loses
+    # its schema in Ray's hash-shuffle aggregators (ArrowInvalid "No
+    # match for FieldRef" at finalize, Ray 2.49.2); typed arrow keeps
+    # empty groups well-schemaed
+    def attach(g: pd.DataFrame) -> pa.Table:
         smap = dict(
             zip(g.loc[g["_side"] == "S", "doc_id"],
                 g.loc[g["_side"] == "S", "shingles"])
         )
         h = g[g["_side"] == "H"]
-        return pd.DataFrame(
-            {"pair_id": h["pair_id"], "shingles": h["doc_id"].map(smap)}
+        return pa.table(
+            {
+                "pair_id": pa.array(h["pair_id"], type=pa.int64()),
+                "shingles": pa.array(
+                    [smap.get(d) for d in h["doc_id"]], type=pa.binary()
+                ),
+            }
         )
 
-    def score(g: pd.DataFrame) -> pd.DataFrame:
+    def score(g: pd.DataFrame) -> pa.Table:
         out_p, out_s = [], []
         for pid, pg in g.groupby("pair_id", sort=False):
             sets = [
@@ -300,18 +310,34 @@ def pair_jaccards(
             ]
             while len(sets) < 2:  # a half lost its doc (missing text)
                 sets.append(set())
-            out_p.append(pid)
+            out_p.append(int(pid))
             out_s.append(_jaccard_sets(sets[0], sets[1]))
-        return pd.DataFrame({"pair_id": out_p, "jaccard_sim": out_s})
+        return pa.table(
+            {
+                "pair_id": pa.array(out_p, type=pa.int64()),
+                "jaccard_sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
 
     attached = (
         rd.from_arrow(halves)
         .union(sh_ds)
-        .groupby("_bucket")
+        .groupby("_bucket", num_partitions=nbuckets)
         .map_groups(attach, batch_format="pandas")
+        # break the plan between the two hash shuffles: two
+        # HashShuffleOperators in ONE streaming plan reserve enough
+        # aggregator-actor CPU to deadlock small clusters (observed at
+        # num_cpus=4, Ray 2.49.2). The staged table is pair halves +
+        # shingle refs — candidate-bounded, not corpus-bounded.
+        .materialize()
     )
+    # map_groups emits SCHEMA-LESS empty blocks for its empty hash
+    # partitions; if one of those shuffles first into the next groupby,
+    # Ray broadcasts the EMPTY schema and the aggregators' key-sort
+    # crashes ("No match for FieldRef.Name(pair_id)", Ray 2.49.2).
+    attached = drop_empty_blocks(attached)
     scored = (
-        attached.groupby("pair_id")
+        attached.groupby("pair_id", num_partitions=nbuckets)
         .map_groups(score, batch_format="pandas")
         .to_pandas()
         .set_index("pair_id")["jaccard_sim"]

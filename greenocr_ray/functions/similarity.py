@@ -271,9 +271,17 @@ def embedding_near_dup_pairs_lsh(
             }
         )
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_in_bucket(g: pd.DataFrame) -> pa.Table:
+        # typed arrow output: empty pandas groups lose their schema in
+        # Ray 2.49's hash-shuffle aggregators
         if len(g) < 2:
-            return pd.DataFrame(_EMPTY_PAIRS)
+            return pa.table(
+                {
+                    "vec_a": pa.array([], type=pa.int64()),
+                    "vec_b": pa.array([], type=pa.int64()),
+                    "cos_sim": pa.array([], type=pa.float64()),
+                }
+            )
         ids = g["vec_id"].to_numpy()
         m = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
         sims = m @ m.T
@@ -281,13 +289,13 @@ def embedding_near_dup_pairs_lsh(
         keep = ids[r] != ids[c]  # a vec can share several buckets
         lo = np.minimum(ids[r[keep]], ids[c[keep]])
         hi = np.maximum(ids[r[keep]], ids[c[keep]])
-        return pd.DataFrame(
+        return pa.table(
             {
-                "vec_a": pd.Series(lo, dtype="int64"),
-                "vec_b": pd.Series(hi, dtype="int64"),
-                "cos_sim": pd.Series(
-                    _round_half_away(sims[r[keep], c[keep]], 6),
-                    dtype="float64",
+                "vec_a": pa.array(lo, type=pa.int64()),
+                "vec_b": pa.array(hi, type=pa.int64()),
+                "cos_sim": pa.array(
+                    np.asarray(_round_half_away(sims[r[keep], c[keep]], 6)),
+                    type=pa.float64(),
                 ),
             }
         )
@@ -298,6 +306,8 @@ def embedding_near_dup_pairs_lsh(
         .map_groups(pairs_in_bucket, batch_format="pandas")
         .to_pandas()
     )
+    if "vec_a" not in out.columns:  # zero qualifying groups -> no schema
+        return pd.DataFrame(_EMPTY_PAIRS)
     out = out.drop_duplicates(["vec_a", "vec_b"])
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 

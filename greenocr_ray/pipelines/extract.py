@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -31,7 +32,6 @@ from ..sources.storage import read_table
 from ..stages.clean_text import clean_text_spans
 from ..stages.explode import assemble_group, explode_spans
 from ..state.lineage import check_run_meta
-from ..stages.join import join_ocr_results
 from ..stages.ocr import OCR_BATCH_SIZE, OcrMediaActor
 from ..state.lineage import (
     PartitionWriter,
@@ -51,24 +51,30 @@ class ExtractOptions:
     ocr_concurrency: tuple[int, int] | int = (1, 8)
 
 
-def _split_branches(
-    documents: rd.Dataset,
-) -> tuple[rd.Dataset, rd.Dataset]:
-    """Explode spans and split into (text_spans, media_spans)."""
+def _clean_spans_keep_media(batch: pa.Table) -> pa.Table:
+    """One pass over exploded span rows: clean non-media spans
+    (html/pdf/text -> normalized 'text' spans, confidence 1.0),
+    pass media spans through with their kind and media_ref intact."""
+    is_media = pc.equal(batch.column("kind"), "media")
+    media_part = batch.filter(is_media)
+    text_part = clean_text_spans(batch.filter(pc.invert(is_media)))
+    media_out = pa.table(
+        {
+            "doc_id": media_part.column("doc_id"),
+            "offset": media_part.column("offset"),
+            "kind": media_part.column("kind"),
+            "text": media_part.column("text"),
+            "media_ref": media_part.column("media_ref"),
+            "confidence": pa.array(
+                np.zeros(media_part.num_rows, dtype=np.float64)
+            ),
+        }
+    )
+    return pa.concat_tables([text_part, media_out])
 
-    def non_media(t: pa.Table) -> pa.Table:
-        return t.filter(pc.not_equal(t.column("kind"), "media"))
 
-    def only_media(t: pa.Table) -> pa.Table:
-        return t.filter(pc.equal(t.column("kind"), "media"))
-
-    flat_text = documents.map_batches(
-        explode_spans, batch_format="pyarrow"
-    ).map_batches(non_media, batch_format="pyarrow")
-    flat_media = documents.map_batches(
-        explode_spans, batch_format="pyarrow"
-    ).map_batches(only_media, batch_format="pyarrow")
-    return flat_text, flat_media
+_LEFT_SENTINEL_DOC = "\x00__no_such_doc__"
+_RIGHT_SENTINEL_KEY = "\x00__no_such_ref__"
 
 
 def extract_flat(
@@ -77,18 +83,55 @@ def extract_flat(
     """Extraction up to flat output spans
     (doc_id, offset, kind, text, media_ref, confidence) — no reassembly.
 
-    Shuffle layout (the scale-critical choice): pixels NEVER cross an
-    exchange. The OCR actor pool consumes the media table straight from
-    its read tasks and emits (media_ref, text, confidence); only that
-    narrow text table hash-joins back onto the span rows. The earlier
-    layout (join payloads onto spans, then OCR) shipped the full raster
-    volume through the join shuffle — ~450x more bytes at sf0.1 — and
-    was 4x slower end-to-end. A media_ref referenced by k spans is
-    recognized once, not k times.
+    Shuffle layout (the scale-critical choices):
+    - pixels NEVER cross an exchange: the OCR actor pool consumes the
+      media table straight from its read tasks and emits
+      (media_ref, text, confidence); only that narrow text table joins
+      back. (Joining payloads onto spans first shipped ~450x more
+      bytes and ran 4x slower.) A media_ref referenced by k spans is
+      recognized once, not k times.
+    - the documents table is read and exploded ONCE, in the same
+      streaming plan as the join: every span row (cleaned in-pass)
+      goes through ONE left-outer hash join against the OCR text.
+      Media rows join on their media_ref; text rows carry a UNIQUE
+      salted key (doc_id:offset) that can never match, so they hash
+      uniformly across partitions (no "" hot key) and pass through
+      with null right columns. This replaces the round-1 two-branch
+      layout, which either re-read + re-exploded the corpus per
+      branch or needed a materialize barrier between explode and join.
     """
     opts = opts or ExtractOptions()
-    text_spans, media_spans = _split_branches(documents)
-    cleaned = text_spans.map_batches(clean_text_spans, batch_format="pyarrow")
+
+    def explode_clean_salt(batch: pa.Table) -> pa.Table:
+        flat = _clean_spans_keep_media(explode_spans(batch))
+        is_media = pc.equal(flat.column("kind"), "media")
+        salt = pc.binary_join_element_wise(
+            pa.scalar("\x00t"),
+            pc.cast(flat.column("doc_id"), pa.string()),
+            pc.cast(flat.column("offset"), pa.string()),
+            ":",
+        )
+        jk = pc.if_else(is_media, flat.column("media_ref"), salt)
+        return flat.append_column("_jk", jk)
+
+    left = documents.map_batches(explode_clean_salt, batch_format="pyarrow")
+    # sentinel rows guard Ray 2.49.2's schema-less-empty-side join
+    # crash on BOTH sides (a fully-resumed docs side or an all-text
+    # corpus is legitimately empty); keys can never match real rows
+    left_sentinel = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([_LEFT_SENTINEL_DOC], type=pa.string()),
+                "offset": pa.array([0], type=pa.int64()),
+                "kind": pa.array(["text"], type=pa.string()),
+                "text": pa.array([""], type=pa.string()),
+                "media_ref": pa.array([""], type=pa.string()),
+                "confidence": pa.array([0.0], type=pa.float64()),
+                "_jk": pa.array(["\x00__no_such_span__"], type=pa.string()),
+            }
+        )
+    )
+
     payload_cols = ["media_ref", "width", "height", "pixels"]
     ocr_text = media.select_columns(payload_cols).map_batches(  # never ship true_text
         OcrMediaActor,
@@ -101,32 +144,95 @@ def extract_flat(
         concurrency=opts.ocr_concurrency,
         num_cpus=1,
     )
-    ocr = join_ocr_results(
-        media_spans, ocr_text, num_partitions=opts.join_partitions
+
+    def to_right(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_jk": t.column("media_ref"),
+                "_ocr_text": t.column("text"),
+                "_ocr_conf": t.column("confidence"),
+            }
+        )
+
+    right = ocr_text.map_batches(to_right, batch_format="pyarrow")
+    right_sentinel = rd.from_arrow(
+        pa.table(
+            {
+                "_jk": pa.array([_RIGHT_SENTINEL_KEY], type=pa.string()),
+                "_ocr_text": pa.array([""], type=pa.string()),
+                "_ocr_conf": pa.array([0.0], type=pa.float64()),
+            }
+        )
     )
-    return cleaned.union(ocr)
 
+    joined = left.union(left_sentinel).join(
+        right.union(right_sentinel),
+        join_type="left_outer",
+        num_partitions=opts.join_partitions,
+        on=("_jk",),
+    )
 
-def _staged(out: rd.Dataset) -> rd.Dataset:
-    """Stage the flat span output before a sort-based groupby.
+    def finish(t: pa.Table) -> pa.Table:
+        is_media = pc.equal(t.column("kind"), "media")
+        ocr_missing = pc.is_null(t.column("_ocr_text"))
+        # inner-join semantics for media spans (skip-and-continue,
+        # exe_t.py:319-336): a media span whose payload never existed
+        # is dropped; sentinel left row is dropped too
+        keep = pc.and_(
+            pc.or_(pc.invert(is_media), pc.invert(ocr_missing)),
+            pc.not_equal(t.column("doc_id"), _LEFT_SENTINEL_DOC),
+        )
+        t = t.filter(keep)
+        is_media = pc.equal(t.column("kind"), "media")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "offset": t.column("offset"),
+                "kind": pc.if_else(
+                    is_media, pa.scalar("ocr"), t.column("kind")
+                ),
+                "text": pc.if_else(
+                    is_media,
+                    pc.fill_null(t.column("_ocr_text"), ""),
+                    t.column("text"),
+                ),
+                "media_ref": t.column("media_ref"),
+                "confidence": pc.if_else(
+                    is_media,
+                    pc.fill_null(t.column("_ocr_conf"), 0.0),
+                    t.column("confidence"),
+                ),
+            }
+        )
 
-    Ray's sort samples its input by truncating upstream execution; a
-    truncated hash-join leaves zero-shard partitions whose blocks lose
-    their schema and crash the join finalize (observed on Ray 2.49.2).
-    Materializing the flat spans — text only, pixels were dropped at
-    the OCR stage — decouples the sort's sampling pass from the join.
-    The staged data is roughly the size of the final output, not the
-    input, so this holds at scale.
-    """
-    return out.materialize()
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def extract_dataset(
     documents: rd.Dataset, media: rd.Dataset, opts: ExtractOptions | None = None
 ) -> rd.Dataset:
-    """Full extraction -> (doc_id, spans, mean_confidence) rows."""
-    out = _staged(extract_flat(documents, media, opts))
-    return out.groupby("doc_id").map_groups(assemble_group, batch_format="pandas")
+    """Full extraction -> (doc_id, spans, mean_confidence) rows.
+
+    The reassembly groupby runs under the engine's HASH_SHUFFLE
+    strategy (greenocr_ray.__init__) — no sort-sampling double
+    execution. ``_hash_groupby_safe`` stages the flat spans (text
+    only, ≈ output size) and drops empty blocks first: Ray 2.49.2's
+    hash shuffle broadcasts the schema of whichever block arrives
+    first, and a schema-less empty from an empty join partition
+    intermittently poisons the aggregators (see rayutil)."""
+    out = _hash_groupby_safe(extract_flat(documents, media, opts))
+    return out.groupby(
+        "doc_id", num_partitions=opts.n_parts if opts else 16
+    ).map_groups(assemble_group, batch_format="pandas")
+
+
+def _hash_groupby_safe(out: rd.Dataset) -> rd.Dataset:
+    """Stage flat span output so the hash-shuffle groupby sees only
+    well-schemaed blocks (Ray 2.49.2 schema-broadcast race; empties
+    come from empty join partitions). Text-only, ≈ output size."""
+    from ..rayutil import drop_empty_blocks
+
+    return drop_empty_blocks(out.materialize())
 
 
 # resume-economy regime bounds: below MIN_DONE_FRACTION of completed
@@ -228,14 +334,22 @@ def _semi_join_media(
         .map_batches(pad_refs, batch_format="pyarrow")
     )
 
-    def keep_needed(g: pd.DataFrame) -> pd.DataFrame:
+    def keep_needed(g: pd.DataFrame) -> pa.Table:
+        # typed arrow output: empty pandas groups lose their schema in
+        # Ray 2.49's hash-shuffle aggregators, and a schema-less empty
+        # block crashes the downstream payload Project
         want = set(g.loc[g["_side"] == "R", "media_ref"])
         out = g[(g["_side"] == "M") & g["media_ref"].isin(want)]
-        return out.drop(columns=["_bucket", "_side"])
+        return pa.table(
+            {
+                f.name: pa.array(out[f.name].tolist(), type=f.type)
+                for f in media_schema
+            }
+        )
 
     return (
         tagged_media.union(tagged_refs)
-        .groupby("_bucket")
+        .groupby("_bucket", num_partitions=nbuckets)
         .map_groups(keep_needed, batch_format="pandas")
     )
 
@@ -277,8 +391,8 @@ def run_extraction(
         pids = partition_ids(t.column("doc_id").to_pylist(), n_parts)
         return t.append_column("part_id", pa.array(pids, type=pa.int32()))
 
-    out = _staged(out.map_batches(add_part_id, batch_format="pyarrow"))
-    lineage = out.groupby("part_id").map_groups(
+    out = _hash_groupby_safe(out.map_batches(add_part_id, batch_format="pyarrow"))
+    lineage = out.groupby("part_id", num_partitions=opts.n_parts).map_groups(
         PartitionWriter(out_dir), batch_format="pandas"
     )
     df = lineage.to_pandas()

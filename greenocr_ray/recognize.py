@@ -33,9 +33,10 @@ class Recognizer:
 
     def __init__(
         self,
-        enhance: str = "clahe",  # 'clahe' | 'stretch'
+        enhance: str = "clahe",  # 'clahe' | 'stretch' | 'external'
         binarization: str = "otsu",  # 'otsu' | 'sauvola'
         scale: int = SCALE,
+        enhance_fn=None,  # required when enhance='external'
     ):
         a = atlas()
         self.chars = "".join(a.keys())
@@ -46,11 +47,23 @@ class Recognizer:
         self.enhance = enhance
         self.binarization = binarization
         self.scale = scale
+        if enhance == "external" and enhance_fn is None:
+            raise ValueError(
+                "enhance='external' needs enhance_fn (HxW float [0,1] -> "
+                "HxW float [0,1])"
+            )
+        self.enhance_fn = enhance_fn
 
     # ------------------------------------------------------------ steps
 
     def _enhance(self, img: np.ndarray) -> np.ndarray:
-        if self.enhance == "clahe":
+        if self.enhance == "external":
+            # the learned-SR seam (exe_t.py:483-499 Real-ESRGAN slot):
+            # a torch/ONNX model loaded once per actor drops in here on
+            # a real cluster without touching the pipeline; this
+            # sandbox has no such runtime, so the fn is caller-supplied
+            out = np.asarray(self.enhance_fn(img), dtype=np.float32)
+        elif self.enhance == "clahe":
             out = kernels.clahe(img)
         else:
             out = kernels.percentile_stretch(img)

@@ -32,12 +32,15 @@ OCR_BATCH_SIZE = 32
 class _RecognizerBase:
     def __init__(
         self,
-        enhance: str = "clahe",
+        enhance: str = "clahe",  # 'clahe' | 'stretch' | 'external'
         binarization: str = "otsu",
         layout: str = "line",  # 'line' strips | 'page' (CC multi-line/column)
+        enhance_fn=None,  # the learned-SR seam (enhance='external')
     ):
         # once per actor: the 'model load' (cf. exe_t.py:461-471 torch.load)
-        self.recognizer = Recognizer(enhance=enhance, binarization=binarization)
+        self.recognizer = Recognizer(
+            enhance=enhance, binarization=binarization, enhance_fn=enhance_fn
+        )
         self._recognize = (
             self.recognizer.recognize_page
             if layout == "page"

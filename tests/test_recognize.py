@@ -113,3 +113,22 @@ def test_page_degraded_two_lines():
     )
     text, _ = Recognizer().recognize_page(degrade(page, rng))
     assert text == "noisy page test still reads fine"
+
+
+def test_external_enhance_seam():
+    """enhance='external' plugs a caller-supplied model in place of
+    CLAHE (the Real-ESRGAN slot, exe_t.py:483-499) without touching
+    the rest of the chain."""
+    calls = []
+
+    def fake_sr(img):
+        calls.append(img.shape)
+        return np.clip(img * 1.05 - 0.02, 0.0, 1.0)  # mild contrast push
+
+    rec = Recognizer(enhance="external", enhance_fn=fake_sr)
+    text, _ = rec.recognize(render_line("external path"))
+    assert text == "external path"
+    assert calls  # the external model actually ran
+
+    with pytest.raises(ValueError):
+        Recognizer(enhance="external")
