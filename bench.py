@@ -27,11 +27,12 @@ def scaling_main() -> None:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            # scaling legs: headline pipeline only, on a 4x corpus —
-            # Ray's actor-pool spin-up/drain is a fixed ~2.5s per
-            # execution, so the per-leg work must dwarf it for the
-            # efficiency ratio to reflect the pipeline, not the harness
-            GRAFT_BENCH_HEADLINE_ONLY="1",
+            # scaling legs: headline + streaming pipelines, no query
+            # micro-timings, on a 4x corpus — Ray's actor-pool
+            # spin-up/drain is a fixed ~2.5s per execution, so the
+            # per-leg work must dwarf it for the efficiency ratio to
+            # reflect the pipeline, not the harness
+            GRAFT_BENCH_SCALING="1",
             GRAFT_BENCH_REPEAT="4",
         )
         out = subprocess.run(
@@ -44,27 +45,47 @@ def scaling_main() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # N=4 -> 4N=16: both legs stay below this single box's memory-
-    # bandwidth saturation point. At 8->32 the high leg saturates the
-    # socket and per-shard compute inflates ~1.3x — an artifact a real
-    # N->4N NODE cluster (constant per-node density) does not have;
-    # measurements for both pairs are recorded in BASELINE.md.
-    lo, hi = 4, 16
-    r_lo = run(lo)
-    r_hi = run(hi)
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    # Both leg pairs run and report. 4->16 stays below this single
+    # box's memory-bandwidth saturation point (the pair the rule is
+    # judged on, as the sandbox stand-in for N->4N NODES); at 8->32
+    # the high leg saturates the socket and per-shard compute inflates
+    # ~1.3x — an artifact a real N->4N NODE cluster (constant per-node
+    # density) does not exhibit. Reporting both keeps the saturated
+    # pair visible instead of selected away.
+    results = {n: run(n) for n in (4, 16, 8, 32)}
+
+    def pair(lo: int, hi: int) -> dict:
+        r_lo, r_hi = results[lo], results[hi]
+        out = {
+            "cpus_lo": lo,
+            "cpus_hi": hi,
+            "sec_lo": r_lo["value"],
+            "sec_hi": r_hi["value"],
+            "docs_per_sec_lo": r_lo["docs_per_sec"],
+            "docs_per_sec_hi": r_hi["docs_per_sec"],
+            "scaling_efficiency": round(
+                (r_lo["value"] / r_hi["value"]) / (hi / lo), 3
+            ),
+        }
+        if "streaming_sec" in r_lo and "streaming_sec" in r_hi:
+            out["streaming_sec_lo"] = r_lo["streaming_sec"]
+            out["streaming_sec_hi"] = r_hi["streaming_sec"]
+            out["streaming_scaling_efficiency"] = round(
+                (r_lo["streaming_sec"] / r_hi["streaming_sec"]) / (hi / lo), 3
+            )
+        return out
+
+    p_unsat = pair(4, 16)
+    p_sat = pair(8, 32)
     print(
         json.dumps(
             {
-                "cpus_lo": lo,
-                "cpus_hi": hi,
-                "sec_lo": r_lo["value"],
-                "sec_hi": r_hi["value"],
-                "docs_per_sec_lo": r_lo["docs_per_sec"],
-                "docs_per_sec_hi": r_hi["docs_per_sec"],
-                "scaling_efficiency": round(eff, 3),
-                "n_docs": r_hi["n_docs"],
-                "sf": r_hi["sf"],
+                # primary (unsaturated) pair at the top level for
+                # compatibility with earlier records
+                **p_unsat,
+                "pairs": [p_unsat, p_sat],
+                "n_docs": results[32]["n_docs"],
+                "sf": results[32]["sf"],
             }
         )
     )
@@ -75,6 +96,7 @@ def main() -> None:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "1"))
     headline_only = os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") == "1"
+    scaling_leg = os.environ.get("GRAFT_BENCH_SCALING") == "1"  # no queries
 
     import ray
 
@@ -160,7 +182,7 @@ def main() -> None:
 
     qs = E.queries()
     timings: dict[str, float] = {}
-    for name in () if headline_only else (
+    for name in () if (headline_only or scaling_leg) else (
         "q1_pricing_summary",
         "events_hourly",
         "segment_revenue",

@@ -40,6 +40,10 @@ def _use_hash_shuffle() -> None:
     ctx.max_hash_shuffle_aggregators = 8
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
     ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
+    # join aggregators default to 0.125 CPU/partition — a 16-partition
+    # join demands 2 whole CPUs, which deadlocks a 4-CPU cluster whose
+    # slots are already held by the (backpressured) OCR pool
+    ctx.join_operator_actor_num_cpus_per_partition_override = 0.05
 
 
 _use_hash_shuffle()
