@@ -131,6 +131,54 @@ def _q_extract_png_verify(sf_dir: str) -> Any:
     return _spans_match_frame(res, paths)
 
 
+def _q_extract_pages_verify(sf_dir: str) -> Any:
+    """Extraction over PAGE-shaped media (each line strip stacked
+    twice with a blank gap): OCR actors run layout='page' — column
+    gutters + connected-component line grouping, column-major reading
+    order — and every media span must read as its line text repeated
+    ('t t'). Verifies the CC multi-line path end-to-end."""
+    import pandas as pd
+    import ray.data as rd
+
+    from greenocr_ray.functions.multimodal import stack_media_pages
+    from greenocr_ray.pipelines.extract import ExtractOptions, extract_dataset
+
+    paths = _interleaved(sf_dir, max_docs=200)
+    docs = rd.read_parquet(paths["documents"], columns=["doc_id", "spans"])
+    media = rd.read_parquet(paths["media"]).map_batches(
+        stack_media_pages, batch_format="pyarrow"
+    )
+    res = extract_dataset(
+        docs,
+        media,
+        ExtractOptions(ocr_concurrency=(1, 8), ocr_layout="page"),
+    ).to_pandas().set_index("doc_id")
+    exp = pq.read_table(
+        paths["documents"], columns=["doc_id", "expected_spans"]
+    ).to_pandas().set_index("doc_id")
+    rows = []
+    for doc_id in exp.index:
+        want = [
+            (
+                s["kind"],
+                f'{s["text"]} {s["text"]}' if s["kind"] == "ocr" else s["text"],
+                s["media_ref"],
+                s["offset"],
+            )
+            for s in exp.loc[doc_id, "expected_spans"]
+        ]
+        got = (
+            [
+                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in res.loc[doc_id, "spans"]
+            ]
+            if doc_id in res.index
+            else []
+        )
+        rows.append({"doc_id": doc_id, "spans_match": got == want})
+    return pd.DataFrame(rows)
+
+
 def _q_extract_sharded_verify(sf_dir: str) -> Any:
     """The co-partitioned zero-shuffle pipeline (bench headline),
     verified the same way as the streaming path: extracted spans vs
@@ -382,6 +430,57 @@ def _q_ngram_jaccard(sf_dir: str) -> Any:
     return ngram_jaccard_pairs(ds, threshold=0.5)
 
 
+def _q_train_test_split(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import train_test_split
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return (
+        train_test_split(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def _q_source_stats(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import source_stats
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "n_chars"]
+    )
+    return source_stats(ds)
+
+
+def _q_keyword_search(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import keyword_search
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return keyword_search(ds, "the", k=20)
+
+
+def _q_event_quantiles(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import grouped_quantiles
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return grouped_quantiles(ds)
+
+
+def _q_approx_distinct_tokens(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import approx_distinct_tokens
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return approx_distinct_tokens(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from greenocr_ray.functions import relational as R
 
@@ -390,6 +489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_spans": _q_extract_spans,
         "extract_verify": _q_extract_verify,
         "extract_png_verify": _q_extract_png_verify,
+        "extract_pages_verify": _q_extract_pages_verify,
         "extract_sharded_verify": _q_extract_sharded_verify,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
@@ -408,6 +508,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": R.q_top_orders_per_segment,
         "asof_prev_click": R.q_asof_prev_click,
         "distinct_chars": R.q_distinct_chars,
+        # corpus management
+        "train_test_split": _q_train_test_split,
+        "source_stats": _q_source_stats,
+        "keyword_search": _q_keyword_search,
+        "event_quantiles": _q_event_quantiles,
+        "approx_distinct_tokens": _q_approx_distinct_tokens,
         # text analysis
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
@@ -463,6 +569,11 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             ) ORDER BY doc_id
         """,
         "extract_png_verify": f"""
+            SELECT doc_id, TRUE AS spans_match FROM (
+                SELECT DISTINCT doc_id FROM read_parquet('{expected_flat}')
+            ) ORDER BY doc_id
+        """,
+        "extract_pages_verify": f"""
             SELECT doc_id, TRUE AS spans_match FROM (
                 SELECT DISTINCT doc_id FROM read_parquet('{expected_flat}')
             ) ORDER BY doc_id
@@ -543,6 +654,40 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    ROUND(ROUND(SUM(value), 2) / COUNT(*), 6) AS avg_value
             FROM events GROUP BY event_type, hour_bucket
             ORDER BY event_type, hour_bucket
+        """,
+        "train_test_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                            THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                            THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id
+        """,
+        "source_stats": """
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6)
+                       AS avg_chars,
+                   COUNT(DISTINCT lang) AS n_langs
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "keyword_search": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, 'the')) AS BIGINT)
+                       AS n_hits
+            FROM documents
+            WHERE len(regexp_extract_all(text, 'the')) > 0
+            ORDER BY n_hits DESC, doc_id LIMIT 20
+        """,
+        "event_quantiles": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.25), 6) AS p25,
+                   ROUND(quantile_cont(value, 0.50), 6) AS p50,
+                   ROUND(quantile_cont(value, 0.75), 6) AS p75,
+                   ROUND(quantile_cont(value, 0.95), 6) AS p95
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "token_counts": """
             SELECT doc_id,

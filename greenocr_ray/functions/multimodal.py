@@ -113,6 +113,40 @@ def encode_media_png(batch: pa.Table) -> pa.Table:
     return batch.set_column(i, "pixels", pa.array(out, type=pa.binary()))
 
 
+def stack_media_pages(batch: pa.Table, gap_frac: float = 1.0) -> pa.Table:
+    """Derive PAGE-shaped media from line-strip media: each payload
+    becomes the same line stacked twice with a blank gap (gap =
+    gap_frac x line height). Ground truth for such a page is the line
+    text repeated — used to exercise the CC multi-line recognition
+    path (`layout='page'`) end-to-end against a derivable oracle."""
+    widths = batch.column("width").to_numpy()
+    heights = batch.column("height").to_numpy()
+    payloads = batch.column("pixels").to_pylist()
+    out_px, out_w, out_h = [], [], []
+    for raw, w, h in zip(payloads, widths, heights):
+        if not valid_payload(raw, w, h):
+            out_px.append(raw)
+            out_w.append(int(w) if w is not None else 0)
+            out_h.append(int(h) if h is not None else 0)
+            continue
+        img = np.frombuffer(raw, dtype=np.uint8).reshape(int(h), int(w))
+        gap = max(8, int(round(gap_frac * img.shape[0])))
+        page = np.full(
+            (img.shape[0] * 2 + gap, img.shape[1]), 255, dtype=np.uint8
+        )
+        page[: img.shape[0]] = img
+        page[img.shape[0] + gap :] = img
+        out_px.append(page.tobytes())
+        out_h.append(page.shape[0])
+        out_w.append(page.shape[1])
+    names = batch.schema.names
+    cols = {n: batch.column(n) for n in names}
+    cols["width"] = pa.array(out_w, type=pa.int32())
+    cols["height"] = pa.array(out_h, type=pa.int32())
+    cols["pixels"] = pa.array(out_px, type=pa.binary())
+    return pa.table(cols)
+
+
 class ImageResizeStage:
     """Actor-pool stage: resize payload rasters to a fixed height,
     preserving aspect (the reference's h=64 normalization,

@@ -49,6 +49,7 @@ class ExtractOptions:
     join_partitions: int = 16  # media_ref hash-join partitions
     ocr_batch_size: int = OCR_BATCH_SIZE
     ocr_concurrency: tuple[int, int] | int = (1, 8)
+    ocr_layout: str = "line"  # 'line' strips | 'page' (CC multi-line)
 
 
 def _clean_spans_keep_media(batch: pa.Table) -> pa.Table:
@@ -138,6 +139,7 @@ def extract_flat(
         fn_constructor_kwargs={
             "enhance": opts.enhance,
             "binarization": opts.binarization,
+            "layout": opts.ocr_layout,
         },
         batch_format="pyarrow",
         batch_size=opts.ocr_batch_size,

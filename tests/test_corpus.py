@@ -1,0 +1,80 @@
+"""Tests for corpus-management operators (split / stats / search /
+quantiles / HLL sketch)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from greenocr_ray.functions.corpus import (
+    HllSketch,
+    _token_hashes,
+    approx_distinct_tokens,
+    grouped_quantiles,
+    keyword_search,
+    split_of_ids,
+    train_test_split,
+)
+
+
+def test_split_deterministic_and_ratioed(ray_session):
+    ids = list(range(20000))
+    a = split_of_ids(ids)
+    b = split_of_ids(ids)
+    assert a == b
+    frac = pd.Series(a).value_counts(normalize=True)
+    assert abs(frac["train"] - 205 / 256) < 0.01
+    assert abs(frac["valid"] - 25 / 256) < 0.005
+    assert abs(frac["test"] - 26 / 256) < 0.005
+    # the dataset operator agrees with the scalar function
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids[:500], type=pa.int64())}))
+    out = train_test_split(ds).to_pandas().sort_values("doc_id")
+    assert list(out["split"]) == a[:500]
+
+
+def test_keyword_search_counts(ray_session):
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": ["cat cat cat", "a cat here", "no felines"],
+            }
+        )
+    )
+    out = keyword_search(ds, "cat", k=10)
+    assert list(zip(out["doc_id"], out["n_hits"])) == [(1, 3), (2, 1)]
+
+
+def test_grouped_quantiles_match_numpy(ray_session):
+    rng = np.random.Generator(np.random.PCG64(5))
+    vals = rng.random(1000) * 100
+    types = np.where(np.arange(1000) % 2 == 0, "a", "b")
+    ds = rd.from_arrow(
+        pa.table({"event_type": pa.array(types), "value": pa.array(vals)})
+    )
+    out = grouped_quantiles(ds).set_index("event_type")
+    for t in ("a", "b"):
+        v = vals[types == t]
+        assert abs(out.loc[t, "p50"] - np.percentile(v, 50)) < 1e-6
+        assert abs(out.loc[t, "p95"] - np.percentile(v, 95)) < 1e-6
+
+
+def test_hll_within_error_bound(ray_session):
+    texts = [f"tok{i} tok{i+1} tok{i+2}" for i in range(0, 30000, 3)]
+    exact = len(set(np.asarray(_token_hashes(texts)).tolist()))
+    ds = rd.from_arrow(pa.table({"text": texts})).repartition(8)
+    approx = int(approx_distinct_tokens(ds)["approx_distinct_tokens"][0])
+    assert abs(approx - exact) / exact < 0.05  # p=12 -> ~1.6% stderr
+
+
+def test_hll_merge_associative():
+    rng = np.random.Generator(np.random.PCG64(1))
+    hs = rng.integers(0, 2**63, 5000, dtype=np.uint64)
+    whole = HllSketch()
+    whole.add_hashes(hs)
+    a, b = HllSketch(), HllSketch()
+    a.add_hashes(hs[:2000])
+    b.add_hashes(hs[2000:])
+    assert a.merge(b).estimate() == whole.estimate()
