@@ -150,25 +150,72 @@ class Recognizer:
         np.cumsum(
             np.cumsum(line, axis=0, dtype=np.float64), axis=1, out=ii[1:, 1:]
         )
+        # per-glyph ink row bounds (cheap), then ONE batched pooling
+        # over every glyph window — same bilinear math as the scalar
+        # helper, without a Python call per glyph
+        xs = np.array([s[0] for s in segs], dtype=np.int64)
+        xe_ = np.array([s[1] for s in segs], dtype=np.int64)
+        ys = np.empty(len(segs), dtype=np.int64)
+        ye_ = np.empty(len(segs), dtype=np.int64)
+        for i, (x0, x1) in enumerate(segs):
+            rows = np.nonzero(line[:, x0:x1].any(axis=1))[0]
+            ys[i] = rows[0]
+            ye_[i] = rows[-1] + 1
+        grids = self._pool_many(ii, ys, ye_, xs, xe_, GLYPH_H, GLYPH_W)
+        V = (np.clip(grids, 0, 1) * 2.0 - 1.0).reshape(len(segs), -1)
         out: list[str] = []
         confs: list[float] = []
         prev_end: int | None = None
-        for x0, x1 in segs:
+        for i, (x0, x1) in enumerate(segs):
             if prev_end is not None and (x0 - prev_end) > space_px:
                 out.append(" ")
             prev_end = x1
-            cell = line[:, x0:x1]
-            rows = np.nonzero(cell.any(axis=1))[0]
-            grid = self._pool_from_integral(
-                ii, int(rows[0]), int(rows[-1]) + 1, x0, x1, GLYPH_H, GLYPH_W
-            )
-            v = (np.clip(grid, 0, 1) * 2.0 - 1.0).ravel()
-            scores = self.templates @ v / self.templates.shape[1]
+            scores = self.templates @ V[i] / self.templates.shape[1]
             k = int(np.argmax(scores))
             out.append(self.chars[k])
             confs.append(float(scores[k]))
         text = normalize_whitespace("".join(out))
         return text, float(np.mean(confs)) if confs else 0.0
+
+    @staticmethod
+    def _pool_many(
+        ii: np.ndarray,
+        ys: np.ndarray,
+        ye_: np.ndarray,
+        xs: np.ndarray,
+        xe_: np.ndarray,
+        gh: int,
+        gw: int,
+    ) -> np.ndarray:
+        """Batched ``_pool_from_integral``: pools every glyph window to
+        a (gh, gw) grid in one set of fancy-indexed gathers — formula-
+        identical per element, so recognition output is unchanged."""
+        hh = ii.shape[0] - 1
+        ww = ii.shape[1] - 1
+        h = (ye_ - ys).astype(np.float64)
+        w = (xe_ - xs).astype(np.float64)
+        ye = ys[:, None] + np.arange(gh + 1, dtype=np.float64)[None, :] * (
+            h[:, None] / gh
+        )
+        xe = xs[:, None] + np.arange(gw + 1, dtype=np.float64)[None, :] * (
+            w[:, None] / gw
+        )
+        y0 = np.floor(ye).astype(np.int64)
+        x0 = np.floor(xe).astype(np.int64)
+        y1 = np.minimum(y0 + 1, hh)
+        x1 = np.minimum(x0 + 1, ww)
+        fy = (ye - y0)[:, :, None]
+        fx = (xe - x0)[:, None, :]
+        g00 = ii[y0[:, :, None], x0[:, None, :]]
+        g01 = ii[y0[:, :, None], x1[:, None, :]]
+        g10 = ii[y1[:, :, None], x0[:, None, :]]
+        g11 = ii[y1[:, :, None], x1[:, None, :]]
+        top = g00 * (1 - fx) + g01 * fx
+        bot = g10 * (1 - fx) + g11 * fx
+        s = top * (1 - fy) + bot * fy
+        areas = s[:, 1:, 1:] - s[:, :-1, 1:] - s[:, 1:, :-1] + s[:, :-1, :-1]
+        cell = np.maximum((h / gh) * (w / gw), 1e-9)
+        return (areas / cell[:, None, None]).astype(np.float32)
 
     # ------------------------------------------------------ page layout
 
