@@ -92,3 +92,35 @@ def test_sharded_resume(ray_session, tmp_path):
     # fully-complete output -> no-op with well-formed empty lineage
     lin3 = run_sharded_extraction(docs, media, out, ShardedOptions(concurrency=2))
     assert len(lin3) == 0 and "partition_id" in lin3.columns
+
+
+def test_sharded_png_payloads_match_raw(ray_session, tmp_path):
+    """The shard extractor sniffs and decodes PNG payloads (the
+    reference's real input format) to the same spans as raw rasters."""
+    import numpy as np
+    import pyarrow as pa
+
+    from greenocr_ray.png import encode_png
+
+    docs, media, _ = _write(tmp_path, n_docs=12, seed=91)
+    t = pq.read_table(media)
+    px, ws, hs = (
+        t.column("pixels").to_pylist(),
+        t.column("width").to_numpy(),
+        t.column("height").to_numpy(),
+    )
+    enc = [
+        encode_png(np.frombuffer(raw, dtype=np.uint8).reshape(int(h), int(w)))
+        for raw, w, h in zip(px, ws, hs)
+    ]
+    t = t.set_column(
+        t.schema.get_field_index("pixels"), "pixels", pa.array(enc, type=pa.binary())
+    )
+    media_png = str(tmp_path / "data" / "media_png.parquet")
+    pq.write_table(t, media_png)
+
+    out_raw = str(tmp_path / "s_raw")
+    out_png = str(tmp_path / "s_png")
+    run_sharded_extraction(docs, media, out_raw, ShardedOptions(concurrency=2))
+    run_sharded_extraction(docs, media_png, out_png, ShardedOptions(concurrency=2))
+    assert _spans_by_doc(out_png) == _spans_by_doc(out_raw)
