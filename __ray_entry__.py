@@ -472,6 +472,50 @@ def _q_event_quantiles(sf_dir: str) -> Any:
     return grouped_quantiles(ds)
 
 
+def _q_knn_batch(sf_dir: str) -> Any:
+    """Batched multi-query kNN: one broadcast query matrix, one matmul
+    per corpus batch (queries = vec_ids 0..4, k=5)."""
+    import ray.data as rd
+
+    from greenocr_ray.functions.similarity import knn_cosine_batch
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    qids = [0, 1, 2, 3, 4]
+    qmat = np.stack(
+        [
+            np.asarray(t.column("embedding")[ids.index(q)].as_py(), dtype=np.float64)
+            for q in qids
+        ]
+    )
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return knn_cosine_batch(ds, qmat, qids, k=5)
+
+
+def _q_dedup_embeddings(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.similarity import dedup_embeddings
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return dedup_embeddings(ds, threshold=0.35)
+
+
+def _q_stratified_sample(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import stratified_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return stratified_sample(ds, "lang", 5)
+
+
 def _q_approx_distinct_tokens(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -514,6 +558,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search": _q_keyword_search,
         "event_quantiles": _q_event_quantiles,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
+        "stratified_sample": _q_stratified_sample,
+        "knn_cosine_batch": _q_knn_batch,
+        "dedup_embeddings": _q_dedup_embeddings,
         # text analysis
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
@@ -680,6 +727,42 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM documents
             WHERE len(regexp_extract_all(text, 'the')) > 0
             ORDER BY n_hits DESC, doc_id LIMIT 20
+        """,
+        "stratified_sample": """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 5 ORDER BY lang, doc_id
+        """,
+        "knn_cosine_batch": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+            ), scored AS (
+                SELECT q.query_id, v.vec_id,
+                       list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+                                              q.e) AS cs
+                FROM q JOIN embeddings v ON v.vec_id <> q.query_id
+            )
+            SELECT query_id, vec_id, ROUND(cs, 6) AS cos_sim FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cs DESC, vec_id
+                ) AS rn FROM scored
+            ) WHERE rn <= 5 ORDER BY query_id, rn
+        """,
+        "dedup_embeddings": """
+            SELECT e.vec_id FROM embeddings e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM embeddings a
+                WHERE a.vec_id < e.vec_id
+                  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(e.embedding AS DOUBLE[]))
+                      >= 0.35
+            ) ORDER BY e.vec_id
         """,
         "event_quantiles": """
             SELECT event_type,

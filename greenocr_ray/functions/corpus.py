@@ -148,6 +148,49 @@ def grouped_quantiles(events: rd.Dataset, key: str = "event_type") -> pd.DataFra
     return out.sort_values(key).reset_index(drop=True)
 
 
+# ------------------------------------------------------ stratified sample
+
+
+def stratified_sample(
+    docs: rd.Dataset, group_col: str = "lang", n_per_group: int = 5
+) -> pd.DataFrame:
+    """Deterministic stratified sample: per group, the n docs with the
+    smallest md5(str(doc_id)) hex digests (hash order ~ uniform random
+    but stable across runs/engines; ties impossible, md5 is injective
+    here). Per-batch partial top-n per group, driver merge of
+    n x groups x blocks rows — no shuffle.
+    -> (group, doc_id) rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([group_col, "doc_id"]).to_pandas()
+        df["h"] = [
+            hashlib.md5(str(d).encode()).hexdigest() for d in df["doc_id"]
+        ]
+        top = (
+            df.sort_values(["h", "doc_id"])
+            .groupby(group_col, sort=False)
+            .head(n_per_group)
+        )
+        return pa.table(
+            {
+                group_col: pa.array(top[group_col], type=pa.string()),
+                "doc_id": pa.array(top["doc_id"], type=pa.int64()),
+                "h": pa.array(top["h"], type=pa.string()),
+            }
+        )
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.sort_values(["h", "doc_id"])
+        .groupby(group_col, sort=True)
+        .head(n_per_group)
+        .drop(columns=["h"])
+        .sort_values([group_col, "doc_id"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
 # ------------------------------------------------------------ HLL sketch
 
 

@@ -127,6 +127,89 @@ def knn_cosine_lsh(
     return knn_cosine(in_bucket, query, k=k, exclude=exclude)
 
 
+def knn_cosine_batch(
+    embeddings: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 5,
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """Batched multi-query brute-force cosine top-k: the L2-normalized
+    query MATRIX broadcasts once (``ray.put``); each corpus batch does
+    ONE (batch x q) matmul and emits its per-query top-k partials; the
+    driver merges k x blocks x q rows. Ties break on ascending vec_id.
+    -> (query_id, vec_id, cos_sim) rows, k per query."""
+    q = np.asarray(queries, dtype=np.float64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    q_ref = ray.put(qn)
+    qid_arr = np.asarray(query_ids, dtype=np.int64)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        ids, m = _batch_matrix(batch)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ qm.T  # (batch, q)
+        out_q, out_v, out_s = [], [], []
+        for j in range(qm.shape[0]):
+            col = sims[:, j]
+            order = np.lexsort((ids, -col))[: k + 1]  # sim desc, id asc
+            out_q.extend([qid_arr[j]] * len(order))
+            out_v.extend(ids[order])
+            out_s.extend(col[order])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "cos_sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    parts = embeddings.map_batches(
+        partial_topk, batch_format="pyarrow", batch_size=4096
+    ).to_pandas()
+    if exclude_self:
+        parts = parts[parts["query_id"] != parts["vec_id"]]
+    out = (
+        parts.sort_values(
+            ["query_id", "cos_sim", "vec_id"], ascending=[True, False, True]
+        )
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["cos_sim"] = _round_half_away(out["cos_sim"], 6)
+    return out
+
+
+def dedup_embeddings(
+    embeddings: rd.Dataset, threshold: float = 0.8, **near_dup_kwargs
+) -> pd.DataFrame:
+    """Embedding-cosine near-dup FILTER: drop any vector that has a
+    neighbor with a smaller vec_id at sim >= threshold (greedy
+    keep-first). Composition: the exact blocked pair scan -> the drop
+    set is exactly {vec_b of every (a < b) pair} -> anti-filter. The
+    drop set is pair-bounded, never corpus-bounded.
+    -> (vec_id) rows, ascending."""
+    pairs = embedding_near_dup_pairs(embeddings, threshold, **near_dup_kwargs)
+    drops = ray.put(set(pairs["vec_b"].tolist()))
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = ray.get(drops)
+        ids = t.column("vec_id").to_pylist()
+        return t.select(["vec_id"]).filter(
+            pa.array([i not in d for i in ids])
+        )
+
+    out = (
+        embeddings.map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    return out
+
+
 # --------------------------------------------- embedding near-duplicates
 
 

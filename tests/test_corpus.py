@@ -78,3 +78,31 @@ def test_hll_merge_associative():
     a.add_hashes(hs[:2000])
     b.add_hashes(hs[2000:])
     assert a.merge(b).estimate() == whole.estimate()
+
+
+def test_stratified_sample_deterministic(ray_session):
+    ids = list(range(200))
+    langs = [("en", "de", "fr")[i % 3] for i in ids]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "lang": pa.array(langs, type=pa.string()),
+            }
+        )
+    ).repartition(4)
+    from greenocr_ray.functions.corpus import stratified_sample
+
+    a = stratified_sample(ds, "lang", 3)
+    b = stratified_sample(ds, "lang", 3)
+    pd.testing.assert_frame_equal(a, b)
+    assert list(a.groupby("lang").size()) == [3, 3, 3]
+    # matches a driver-side brute-force of the same rule
+    import hashlib
+    df = pd.DataFrame({"doc_id": ids, "lang": langs})
+    df["h"] = [hashlib.md5(str(d).encode()).hexdigest() for d in df["doc_id"]]
+    want = (
+        df.sort_values(["h", "doc_id"]).groupby("lang", sort=True).head(3)
+        .drop(columns="h").sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, want[["lang", "doc_id"]])

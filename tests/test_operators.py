@@ -307,3 +307,31 @@ def test_top_orders_per_segment_ties(ray_session, tmp_path):
     out = R.q_top_orders_per_segment(str(d), k=3)
     assert list(out["o_orderkey"]) == [12, 10, 11]
     assert list(out["rn"]) == [1, 2, 3]
+
+
+def test_knn_batch_matches_single_query(ray_session):
+    from greenocr_ray.functions.similarity import knn_cosine, knn_cosine_batch
+
+    ds = _emb_ds()
+    rows = ds.take_all()
+    qmat = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in rows[:3]]
+    )
+    out = knn_cosine_batch(ds, qmat, [0, 1, 2], k=5)
+    assert list(out.groupby("query_id").size()) == [5, 5, 5]
+    for q in (0, 1, 2):
+        single = knn_cosine(
+            ds, qmat[q], k=5, exclude={q}
+        )
+        mine = out[out["query_id"] == q]
+        assert list(mine["vec_id"]) == list(single["vec_id"])
+        np.testing.assert_allclose(mine["cos_sim"], single["cos_sim"], atol=1e-6)
+
+
+def test_dedup_embeddings_drops_later_twin(ray_session):
+    from greenocr_ray.functions.similarity import dedup_embeddings
+
+    out = dedup_embeddings(_emb_ds(), threshold=0.99)
+    kept = set(out["vec_id"])
+    assert 0 in kept and 1 not in kept  # vec 1 is vec 0's near-copy
+    assert len(kept) == 21  # 22 vecs, one dropped
