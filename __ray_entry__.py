@@ -516,6 +516,15 @@ def _q_stratified_sample(sf_dir: str) -> Any:
     return stratified_sample(ds, "lang", 5)
 
 
+def _q_tfidf_top_terms(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import tfidf_top_terms
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, k=3)
+
+
 def _q_approx_distinct_tokens(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -559,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_quantiles": _q_event_quantiles,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
         "stratified_sample": _q_stratified_sample,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "knn_cosine_batch": _q_knn_batch,
         "dedup_embeddings": _q_dedup_embeddings,
         # text analysis
@@ -727,6 +737,30 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM documents
             WHERE len(regexp_extract_all(text, 'the')) > 0
             ORDER BY n_hits DESC, doc_id LIMIT 20
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[0-9a-z_]+'))
+                         AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf
+              FROM toks GROUP BY doc_id, term
+            ), df AS (
+              SELECT term, COUNT(DISTINCT doc_id) AS df
+              FROM toks GROUP BY term
+            ), n AS (SELECT COUNT(*) AS n FROM documents)
+            SELECT doc_id, term, ROUND(score, 6) AS tfidf FROM (
+                SELECT tf.doc_id, tf.term,
+                       tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)
+                                    DESC, tf.term
+                       ) AS rn
+                FROM tf JOIN df USING (term), n
+            ) WHERE rn <= 3 ORDER BY doc_id, rn
         """,
         "stratified_sample": """
             SELECT lang, doc_id FROM (

@@ -11,6 +11,7 @@ sketch merges fixed-size register arrays, never token sets.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -19,6 +20,8 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from .relational import combine_small_agg, round_half_away
+
+_TOKEN_RE = re.compile(r"\w+")
 
 # ----------------------------------------------------- train/test split
 
@@ -146,6 +149,84 @@ def grouped_quantiles(events: rd.Dataset, key: str = "event_type") -> pd.DataFra
         .to_pandas()
     )
     return out.sort_values(key).reset_index(drop=True)
+
+
+# -------------------------------------------------------------- tf-idf
+
+
+def tfidf_top_terms(docs: rd.Dataset, k: int = 3) -> pd.DataFrame:
+    """Per-doc top-k terms by TF-IDF (idf = ln(N/df), ties on
+    ascending term).
+
+    Two passes: (1) document frequencies — per-batch partial
+    (term, df) counts folded on the driver below the band-row limit,
+    genuine hash shuffle above (vocab-bounded, megabytes at crawl
+    scale); the idf map broadcasts via ``ray.put``. (2) per-doc term
+    frequencies + scoring inside map_batches, emitting only k rows per
+    doc. -> (doc_id, term, tfidf) rows."""
+    import ray
+
+    from collections import Counter
+
+    def tokenize(s: str) -> list[str]:
+        return _TOKEN_RE.findall(s.lower())
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t.column("text").to_pylist():
+            c.update(set(tokenize(s)))
+        return pa.table(
+            {
+                "term": pa.array(list(c.keys()), type=pa.string()),
+                "df": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(df_partial, batch_format="pyarrow").materialize()
+    n_docs = docs.count()
+    if parts.count() <= 5_000_000:
+        dfs = parts.to_pandas().groupby("term")["df"].sum()
+    else:  # vocab-scale shuffle path
+        from ray.data.aggregate import Sum
+
+        dfs = (
+            parts.groupby("term")
+            .aggregate(Sum("df", alias_name="df"))
+            .to_pandas()
+            .set_index("term")["df"]
+        )
+    idf = {t: float(np.log(n_docs / d)) for t, d in dfs.items()}
+    idf_ref = ray.put(idf)
+
+    def score(t: pa.Table) -> pa.Table:
+        idf_map = ray.get(idf_ref)
+        out_d, out_t, out_s = [], [], []
+        for did, s in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            tf = Counter(tokenize(s))
+            scored = sorted(
+                ((c * idf_map.get(w, 0.0), w) for w, c in tf.items()),
+                key=lambda x: (-x[0], x[1]),
+            )[:k]
+            for sc, w in scored:
+                out_d.append(did)
+                out_t.append(w)
+                out_s.append(sc)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "term": pa.array(out_t, type=pa.string()),
+                "tfidf": pa.array(
+                    np.asarray(round_half_away(np.array(out_s), 6)),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    out = docs.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "tfidf", "term"],
+                           ascending=[True, False, True]).reset_index(drop=True)
 
 
 # ------------------------------------------------------ stratified sample

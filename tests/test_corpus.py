@@ -106,3 +106,27 @@ def test_stratified_sample_deterministic(ray_session):
         .drop(columns="h").sort_values(["lang", "doc_id"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, want[["lang", "doc_id"]])
+
+
+def test_tfidf_top_terms_golden(ray_session):
+    from greenocr_ray.functions.corpus import tfidf_top_terms
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": [
+                    "apple apple banana",  # apple: tf2, only here
+                    "banana cherry",
+                    "cherry cherry cherry date",
+                ],
+            }
+        )
+    )
+    out = tfidf_top_terms(ds, k=2)
+    top1 = out.groupby("doc_id").first()
+    # the doc-exclusive term dominates each doc
+    assert top1.loc[1, "term"] == "apple"
+    assert top1.loc[3, "term"] == "cherry"
+    # idf = ln(3/1) for a term unique to one doc, tf=2
+    assert abs(top1.loc[1, "tfidf"] - 2 * np.log(3.0)) < 1e-6
