@@ -136,6 +136,19 @@ def main() -> None:
     rd.read_parquet(paths["media"]).map_batches(
         lambda t: _pa.table({"n": [t.num_rows]}), batch_format="pyarrow"
     ).count()
+    # untimed COMPUTE warm-up: the first run after idle measures up to
+    # ~1.5x slower on this box (frequency ramp + cold worker pools);
+    # OCR a small payload slice through a real actor pool so the timed
+    # run reflects steady state
+    from greenocr_ray.stages.ocr import OcrMediaActor
+
+    rd.read_parquet(paths["media"]).limit(768).map_batches(
+        OcrMediaActor,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(4, max(4, num_cpus)),
+        num_cpus=1,
+    ).count()
 
     # ---- headline: co-partitioned shard extraction (zero-shuffle
     # fast path; the layout build_interleaved produces), checkpointed
