@@ -61,4 +61,14 @@ from .pipelines.sharded import (  # noqa: F401
     plan_shards,
     run_sharded_extraction,
 )
+from .png import decode_png, encode_png  # noqa: F401
 from .recognize import Recognizer  # noqa: F401
+from .functions import (  # noqa: F401
+    corpus,
+    dedup,
+    merge,
+    multimodal,
+    relational,
+    similarity,
+    textstats,
+)
