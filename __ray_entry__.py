@@ -516,6 +516,17 @@ def _q_stratified_sample(sf_dir: str) -> Any:
     return stratified_sample(ds, "lang", 5)
 
 
+def _q_label_centroids(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.similarity import label_centroids
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
+    )
+    return label_centroids(ds)
+
+
 def _q_tfidf_top_terms(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -571,6 +582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "knn_cosine_batch": _q_knn_batch,
         "dedup_embeddings": _q_dedup_embeddings,
+        "label_centroids": _q_label_centroids,
         # text analysis
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
@@ -787,6 +799,13 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                     PARTITION BY query_id ORDER BY cs DESC, vec_id
                 ) AS rn FROM scored
             ) WHERE rn <= 5 ORDER BY query_id, rn
+        """,
+        "label_centroids": """
+            SELECT label, i AS dim,
+                   ROUND(AVG(CAST(embedding AS DOUBLE[])[i]), 6) AS centroid
+            FROM embeddings,
+                 (SELECT unnest(generate_series(1, 64)) AS i)
+            GROUP BY label, i ORDER BY label, i
         """,
         "dedup_embeddings": """
             SELECT e.vec_id FROM embeddings e

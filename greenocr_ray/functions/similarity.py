@@ -182,6 +182,62 @@ def knn_cosine_batch(
     return out
 
 
+def label_centroids(embeddings: rd.Dataset) -> pd.DataFrame:
+    """Per-label embedding centroids in long form
+    (label, dim, centroid) — the grouped weighted-mean shape of the
+    reference's model-state merge (train.py:202-247) applied to
+    vectors: per-batch partial (sum_vec, n) per label, driver fold of
+    the bounded-cardinality partials, division once at the end."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        labels = t.column("label").to_pylist()
+        _, m = _batch_matrix(t)
+        sums: dict[str, np.ndarray] = {}
+        counts: dict[str, int] = {}
+        for lab, row in zip(labels, m):
+            if lab in sums:
+                sums[lab] = sums[lab] + row
+                counts[lab] += 1
+            else:
+                sums[lab] = row.copy()
+                counts[lab] = 1
+        keys = list(sums.keys())
+        return pa.table(
+            {
+                "label": pa.array(keys, type=pa.int64()),
+                "sum_vec": pa.array([sums[k].tobytes() for k in keys]),
+                "n": pa.array([counts[k] for k in keys], type=pa.int64()),
+            }
+        )
+
+    acc: dict[str, tuple[np.ndarray, int]] = {}
+    for b in embeddings.map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for lab, raw, n in zip(
+            b.column("label").to_pylist(),
+            b.column("sum_vec").to_pylist(),
+            b.column("n").to_pylist(),
+        ):
+            v = np.frombuffer(raw, dtype=np.float64)
+            if lab in acc:
+                acc[lab] = (acc[lab][0] + v, acc[lab][1] + n)
+            else:
+                acc[lab] = (v.copy(), int(n))
+    rows = []
+    for lab in sorted(acc):
+        s, n = acc[lab]
+        c = _round_half_away(s / n, 6)
+        rows.extend(
+            {"label": int(lab), "dim": i + 1, "centroid": float(c[i])}
+            for i in range(len(c))
+        )
+    out = pd.DataFrame(rows)
+    out["label"] = out["label"].astype("int64")
+    out["dim"] = out["dim"].astype("int64")
+    return out
+
+
 def dedup_embeddings(
     embeddings: rd.Dataset, threshold: float = 0.8, **near_dup_kwargs
 ) -> pd.DataFrame:

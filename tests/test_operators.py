@@ -335,3 +335,29 @@ def test_dedup_embeddings_drops_later_twin(ray_session):
     kept = set(out["vec_id"])
     assert 0 in kept and 1 not in kept  # vec 1 is vec 0's near-copy
     assert len(kept) == 21  # 22 vecs, one dropped
+
+
+def test_label_centroids_match_numpy(ray_session):
+    from greenocr_ray.functions.similarity import label_centroids
+
+    rng = np.random.Generator(np.random.PCG64(8))
+    vecs = rng.standard_normal((30, 4))
+    labels = np.arange(30) % 3
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(30), type=pa.int64()),
+                "label": pa.array(labels, type=pa.int32()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs],
+                    type=pa.list_(pa.float64()),
+                ),
+            }
+        )
+    ).repartition(4)
+    out = label_centroids(ds)
+    assert len(out) == 12  # 3 labels x 4 dims
+    for lab in range(3):
+        want = vecs[labels == lab].mean(axis=0)
+        got = out[out["label"] == lab].sort_values("dim")["centroid"].to_numpy()
+        np.testing.assert_allclose(got, want, atol=1e-6)
