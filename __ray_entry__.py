@@ -516,6 +516,17 @@ def _q_stratified_sample(sf_dir: str) -> Any:
     return stratified_sample(ds, "lang", 5)
 
 
+def _q_props_stats(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import props_stats
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    return props_stats(ds)
+
+
 def _q_label_centroids(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -583,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_batch": _q_knn_batch,
         "dedup_embeddings": _q_dedup_embeddings,
         "label_centroids": _q_label_centroids,
+        "props_stats": _q_props_stats,
         # text analysis
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
@@ -799,6 +811,18 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                     PARTITION BY query_id ORDER BY cs DESC, vec_id
                 ) AS rn FROM scored
             ) WHERE rn <= 5 ORDER BY query_id, rn
+        """,
+        "props_stats": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                                 AS BIGINT)) AS BIGINT) AS sum_k,
+                   ROUND(CAST(SUM(CAST(regexp_extract(props,
+                                 '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS DOUBLE)
+                         / COUNT(*), 6) AS avg_k,
+                   MAX(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                            AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "label_centroids": """
             SELECT label, i AS dim,

@@ -272,6 +272,42 @@ def stratified_sample(
     return out
 
 
+# ----------------------------------------------- semi-structured props
+
+
+def props_stats(events: rd.Dataset) -> pd.DataFrame:
+    """Semi-structured extraction: pull the integer ``k`` field out of
+    the JSON ``props`` column with ONE vectorized ``pc.extract_regex``
+    (no per-row json.loads) and aggregate per event_type — partial
+    pre-agg per batch, bounded-key driver fold.
+    -> (event_type, n_events, sum_k, avg_k, max_k)."""
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ks = pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ks, "k"), pa.int64())
+        df = pd.DataFrame(
+            {
+                "event_type": t.column("event_type").to_pandas(),
+                "k": k.to_pandas(),
+            }
+        )
+        g = df.groupby("event_type", sort=False)["k"].agg(
+            ["size", "sum", "max"]
+        )
+        return g.rename(
+            columns={"size": "n_events", "sum": "sum_k", "max": "max_k"}
+        ).reset_index()
+
+    out = combine_small_agg(
+        events.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        {"n_events": "sum", "sum_k": "sum", "max_k": "max"},
+    )
+    out["avg_k"] = round_half_away(out["sum_k"] / out["n_events"], 6)
+    out = out[["event_type", "n_events", "sum_k", "avg_k", "max_k"]]
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 # ------------------------------------------------------------ HLL sketch
 
 

@@ -130,3 +130,20 @@ def test_tfidf_top_terms_golden(ray_session):
     assert top1.loc[3, "term"] == "cherry"
     # idf = ln(3/1) for a term unique to one doc, tf=2
     assert abs(top1.loc[1, "tfidf"] - 2 * np.log(3.0)) < 1e-6
+
+
+def test_props_stats_extracts_json_field(ray_session):
+    from greenocr_ray.functions.corpus import props_stats
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_type": ["a", "a", "b"],
+                "props": ['{"k": 5}', '{"k": -2}', '{"k": 10}'],
+            }
+        )
+    )
+    out = props_stats(ds).set_index("event_type")
+    assert out.loc["a", "sum_k"] == 3 and out.loc["a", "max_k"] == 5
+    assert out.loc["a", "avg_k"] == 1.5
+    assert out.loc["b", "n_events"] == 1
