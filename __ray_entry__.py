@@ -516,6 +516,15 @@ def _q_stratified_sample(sf_dir: str) -> Any:
     return stratified_sample(ds, "lang", 5)
 
 
+def _q_bm25_search(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import bm25_search
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_search(ds, ["data", "system"], k=20)
+
+
 def _q_props_stats(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -595,6 +604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embeddings": _q_dedup_embeddings,
         "label_centroids": _q_label_centroids,
         "props_stats": _q_props_stats,
+        "bm25_search": _q_bm25_search,
         # text analysis
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
@@ -811,6 +821,39 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                     PARTITION BY query_id ORDER BY cs DESC, vec_id
                 ) AS rn FROM scored
             ) WHERE rn <= 5 ORDER BY query_id, rn
+        """,
+        "bm25_search": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[0-9a-z_]+') AS tk
+              FROM documents
+            ), st AS (
+              SELECT COUNT(*) AS n, AVG(len(tk)) AS avgdl FROM toks
+            ), tf AS (
+              SELECT doc_id, len(tk) AS dl,
+                     len(list_filter(tk, x -> x = 'data')) AS tf0,
+                     len(list_filter(tk, x -> x = 'system')) AS tf1
+              FROM toks
+            ), df AS (
+              SELECT SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                     SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+              FROM tf
+            ), scored AS (
+              SELECT tf.doc_id,
+                     CASE WHEN tf.tf0 > 0 THEN
+                          ln((st.n - df.df0 + 0.5) / (df.df0 + 0.5) + 1.0)
+                          * tf.tf0 * 2.5
+                          / (tf.tf0 + 1.5 * (0.25 + 0.75 * tf.dl / st.avgdl))
+                          ELSE 0.0 END
+                     + CASE WHEN tf.tf1 > 0 THEN
+                          ln((st.n - df.df1 + 0.5) / (df.df1 + 0.5) + 1.0)
+                          * tf.tf1 * 2.5
+                          / (tf.tf1 + 1.5 * (0.25 + 0.75 * tf.dl / st.avgdl))
+                          ELSE 0.0 END AS raw
+              FROM tf, st, df
+            )
+            SELECT doc_id, ROUND(raw, 6) AS score FROM scored
+            WHERE raw > 0 ORDER BY raw DESC, doc_id LIMIT 20
         """,
         "props_stats": """
             SELECT event_type,

@@ -272,6 +272,103 @@ def stratified_sample(
     return out
 
 
+# ----------------------------------------------------------------- BM25
+
+
+def bm25_search(
+    docs: rd.Dataset,
+    terms: list[str],
+    k1: float = 1.5,
+    b: float = 0.75,
+    k: int = 20,
+) -> pd.DataFrame:
+    """BM25 ranked retrieval for a fixed term set.
+
+    Pass 1 (cheap stats): per-batch partials of N, total tokens, and
+    per-term document frequencies — constant-size, driver fold. Pass 2:
+    per-doc scoring inside map_batches with the broadcast stats; only
+    matching docs leave the tasks, the driver merges top-k.
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1) (Robertson-Sparck Jones+1).
+    -> (doc_id, score) rows, score desc, ties on doc_id."""
+    import ray
+
+    from collections import Counter
+
+    def tokenize(s: str) -> list[str]:
+        return _TOKEN_RE.findall(s.lower())
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        total = 0
+        dfs = Counter()
+        for s in t.column("text").to_pylist():
+            toks = tokenize(s)
+            total += len(toks)
+            seen = set(toks)
+            for term in terms:
+                if term in seen:
+                    dfs[term] += 1
+        return pa.table(
+            {
+                "n": pa.array([n], type=pa.int64()),
+                "total_tokens": pa.array([total], type=pa.int64()),
+                **{
+                    f"df_{i}": pa.array([dfs[term]], type=pa.int64())
+                    for i, term in enumerate(terms)
+                },
+            }
+        )
+
+    agg = (
+        docs.map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sum()
+    )
+    n_docs = int(agg["n"])
+    avgdl = float(agg["total_tokens"]) / max(n_docs, 1)
+    idf = {
+        term: float(np.log((n_docs - int(agg[f"df_{i}"]) + 0.5)
+                           / (int(agg[f"df_{i}"]) + 0.5) + 1.0))
+        for i, term in enumerate(terms)
+    }
+    params = ray.put((idf, avgdl))
+
+    def score(t: pa.Table) -> pa.Table:
+        idf_map, adl = ray.get(params)
+        out_d, out_s = [], []
+        for did, s in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            toks = tokenize(s)
+            if not toks:
+                continue
+            tf = Counter(toks)
+            dl = len(toks)
+            sc = 0.0
+            for term, w in idf_map.items():
+                f = tf.get(term, 0)
+                if f:
+                    sc += w * f * (k1 + 1) / (f + k1 * (1 - b + b * dl / adl))
+            if sc > 0.0:
+                out_d.append(did)
+                out_s.append(sc)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    hits = docs.map_batches(score, batch_format="pyarrow").to_pandas()
+    out = (
+        hits.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["score"] = round_half_away(out["score"], 6)
+    return out
+
+
 # ----------------------------------------------- semi-structured props
 
 

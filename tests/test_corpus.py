@@ -147,3 +147,28 @@ def test_props_stats_extracts_json_field(ray_session):
     assert out.loc["a", "sum_k"] == 3 and out.loc["a", "max_k"] == 5
     assert out.loc["a", "avg_k"] == 1.5
     assert out.loc["b", "n_events"] == 1
+
+
+def test_bm25_prefers_term_density(ray_session):
+    from greenocr_ray.functions.corpus import bm25_search
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "text": [
+                    "data data data pipeline",      # dense in 'data'
+                    "data appears once in a much longer document "
+                    "with many many other words diluting it badly",
+                    "nothing relevant here at all",
+                    "system of record",
+                ],
+            }
+        )
+    )
+    out = bm25_search(ds, ["data", "system"], k=10)
+    ranks = list(out["doc_id"])
+    # among the 'data' docs, term density beats the diluted long doc
+    assert ranks.index(1) < ranks.index(2)
+    assert set(ranks) == {1, 2, 4}              # non-matching doc absent
+    assert (out["score"] > 0).all()
