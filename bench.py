@@ -142,11 +142,14 @@ def main() -> None:
     # run reflects steady state
     from greenocr_ray.stages.ocr import OcrMediaActor
 
+    # pool floor MUST stay below num_cpus: a floor equal to the
+    # cluster size reserves every CPU and starves the upstream read
+    # tasks (observed deadlock on the 4-cpu scaling leg)
     rd.read_parquet(paths["media"]).limit(768).map_batches(
         OcrMediaActor,
         batch_format="pyarrow",
         batch_size=32,
-        concurrency=(4, max(4, num_cpus)),
+        concurrency=(max(1, min(2, num_cpus - 2)), num_cpus),
         num_cpus=1,
     ).count()
 
