@@ -97,19 +97,33 @@ def source_stats(docs: rd.Dataset) -> pd.DataFrame:
 # ------------------------------------------------------- keyword search
 
 
+def _keyword_hits(docs: rd.Dataset, term: str, k: int) -> rd.Dataset:
+    """Per-batch scan emitting AT MOST k matching (doc_id, n_hits)
+    rows per block (partial top-k — global top-k is a monotone merge
+    of per-block top-ks, so truncation is exact)."""
+
+    def scan(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring(t.column("text"), term), pa.int64())
+        out = pa.table({"doc_id": t.column("doc_id"), "n_hits": n})
+        out = out.filter(pc.greater(out.column("n_hits"), 0))
+        if out.num_rows > k:
+            idx = pc.sort_indices(
+                out,
+                sort_keys=[("n_hits", "descending"), ("doc_id", "ascending")],
+            )
+            out = out.take(idx.slice(0, k))
+        return out
+
+    return docs.map_batches(scan, batch_format="pyarrow")
+
+
 def keyword_search(docs: rd.Dataset, term: str, k: int = 20) -> pd.DataFrame:
     """Top-k docs by non-overlapping occurrence count of a literal
     term (vectorized ``pc.count_substring``); ties break on doc_id.
-    The inverted-index primitive: per-batch scan emits only matching
-    (doc_id, n_hits) rows, the driver merges k·blocks candidates."""
-
-    def scan(t: pa.Table) -> pa.Table:
-        n = pc.count_substring(t.column("text"), term)
-        out = pa.table({"doc_id": t.column("doc_id"), "n_hits": n})
-        return out.filter(pc.greater(n, 0))
-
-    hits = docs.map_batches(scan, batch_format="pyarrow").to_pandas()
-    hits["n_hits"] = hits["n_hits"].astype("int64")
+    The inverted-index primitive: the driver merges k·blocks candidate
+    rows. A 100%-match crawl therefore ships k rows per block to the
+    driver, never the corpus."""
+    hits = _keyword_hits(docs, term, k).to_pandas()
     return (
         hits.sort_values(["n_hits", "doc_id"], ascending=[False, True])
         .head(k)
@@ -217,16 +231,18 @@ def tfidf_top_terms(docs: rd.Dataset, k: int = 3) -> pd.DataFrame:
             {
                 "doc_id": pa.array(out_d, type=pa.int64()),
                 "term": pa.array(out_t, type=pa.string()),
-                "tfidf": pa.array(
-                    np.asarray(round_half_away(np.array(out_s), 6)),
-                    type=pa.float64(),
-                ),
+                "tfidf_raw": pa.array(out_s, type=pa.float64()),
             }
         )
 
     out = docs.map_batches(score, batch_format="pyarrow").to_pandas()
-    return out.sort_values(["doc_id", "tfidf", "term"],
-                           ascending=[True, False, True]).reset_index(drop=True)
+    # order by the RAW score (the oracle ranks via row_number over the
+    # unrounded expression); round only for output — two terms whose raw
+    # scores differ but round equal must keep the raw rank order
+    out = out.sort_values(["doc_id", "tfidf_raw", "term"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+    out["tfidf"] = round_half_away(out["tfidf_raw"], 6)
+    return out[["doc_id", "term", "tfidf"]]
 
 
 # ------------------------------------------------------ stratified sample
@@ -286,8 +302,9 @@ def bm25_search(
 
     Pass 1 (cheap stats): per-batch partials of N, total tokens, and
     per-term document frequencies — constant-size, driver fold. Pass 2:
-    per-doc scoring inside map_batches with the broadcast stats; only
-    matching docs leave the tasks, the driver merges top-k.
+    per-doc scoring inside map_batches with the broadcast stats; each
+    task emits only its top-k matches (partial top-k, exact under
+    monotone merge), the driver merges k·blocks rows.
     idf = ln((N - df + 0.5)/(df + 0.5) + 1) (Robertson-Sparck Jones+1).
     -> (doc_id, score) rows, score desc, ties on doc_id."""
     import ray
@@ -332,6 +349,27 @@ def bm25_search(
         for i, term in enumerate(terms)
     }
     params = ray.put((idf, avgdl))
+    hits = _bm25_hits(docs, params, k1, b, k).to_pandas()
+    out = (
+        hits.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["score"] = round_half_away(out["score"], 6)
+    return out
+
+
+def _bm25_hits(
+    docs: rd.Dataset, params, k1: float, b: float, k: int
+) -> rd.Dataset:
+    """Per-batch BM25 scoring with broadcast stats; each block emits at
+    most its top-k matches (partial top-k, exact under monotone merge)."""
+    import ray
+
+    from collections import Counter
+
+    def tokenize(s: str) -> list[str]:
+        return _TOKEN_RE.findall(s.lower())
 
     def score(t: pa.Table) -> pa.Table:
         idf_map, adl = ray.get(params)
@@ -352,21 +390,21 @@ def bm25_search(
             if sc > 0.0:
                 out_d.append(did)
                 out_s.append(sc)
-        return pa.table(
+        out = pa.table(
             {
                 "doc_id": pa.array(out_d, type=pa.int64()),
                 "score": pa.array(out_s, type=pa.float64()),
             }
         )
+        if out.num_rows > k:
+            idx = pc.sort_indices(
+                out,
+                sort_keys=[("score", "descending"), ("doc_id", "ascending")],
+            )
+            out = out.take(idx.slice(0, k))
+        return out
 
-    hits = docs.map_batches(score, batch_format="pyarrow").to_pandas()
-    out = (
-        hits.sort_values(["score", "doc_id"], ascending=[False, True])
-        .head(k)
-        .reset_index(drop=True)
-    )
-    out["score"] = round_half_away(out["score"], 6)
-    return out
+    return docs.map_batches(score, batch_format="pyarrow")
 
 
 # ----------------------------------------------- semi-structured props

@@ -166,7 +166,15 @@ class ImageResizeStage:
                 out_h.append(0)
                 out_w.append(0)
                 continue
-            img = _decode_row(raw, w, h)
+            try:
+                img = _decode_row(raw, w, h)
+            except ValueError:
+                # valid_payload passes on a PNG signature alone; a
+                # truncated/corrupt body must still not crash the stage
+                out_px.append(b"")
+                out_h.append(0)
+                out_w.append(0)
+                continue
             resized = kernels.resize_keep_aspect(img, self.target_h)
             u8 = np.clip(np.round(resized * 255.0), 0, 255).astype(np.uint8)
             out_px.append(u8.tobytes())
@@ -198,7 +206,10 @@ class ImageFeatureStage:
         for i, (raw, w, h) in enumerate(zip(payloads, widths, heights)):
             if not valid_payload(raw, w, h):
                 continue  # feature row stays all-zero
-            img = _decode_row(raw, w, h)
+            try:
+                img = _decode_row(raw, w, h)
+            except ValueError:
+                continue  # corrupt PNG body: feature row stays all-zero
             mask = kernels.binarize(img, "otsu")
             density[i] = float(mask.mean())
             p1, p99 = np.percentile(img, [1, 99])

@@ -342,9 +342,12 @@ def _semi_join_media(
         # block crashes the downstream payload Project
         want = set(g.loc[g["_side"] == "R", "media_ref"])
         out = g[(g["_side"] == "M") & g["media_ref"].isin(want)]
+        # null-preserving rebuild: pandas widened int32 dims to float64
+        # (and a tolerated null dim became NaN); from_pandas=True maps
+        # NaN/None back to typed nulls instead of raising ArrowInvalid
         return pa.table(
             {
-                f.name: pa.array(out[f.name].tolist(), type=f.type)
+                f.name: pa.array(out[f.name], type=f.type, from_pandas=True)
                 for f in media_schema
             }
         )

@@ -115,7 +115,19 @@ def _iter_chunks(data: bytes):
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> uint8 array: HxW (gray) or HxWxC (2/3/4 channels)."""
+    """PNG bytes -> uint8 array: HxW (gray) or HxWxC (2/3/4 channels).
+
+    All decode failures — including corrupted IDAT (``zlib.error``) and
+    malformed chunk headers (``struct.error``) — surface as
+    ``ValueError`` so callers need exactly one skip-and-continue guard
+    (the reference's per-row error policy, exe_t.py:319-336)."""
+    try:
+        return _decode_png(data)
+    except (zlib.error, struct.error) as e:
+        raise ValueError(f"corrupt PNG: {e}") from e
+
+
+def _decode_png(data: bytes) -> np.ndarray:
     if not is_png(data):
         raise ValueError("not a PNG (bad signature)")
     width = height = None

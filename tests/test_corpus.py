@@ -172,3 +172,55 @@ def test_bm25_prefers_term_density(ray_session):
     assert ranks.index(1) < ranks.index(2)
     assert set(ranks) == {1, 2, 4}              # non-matching doc absent
     assert (out["score"] > 0).all()
+
+
+def test_keyword_partial_topk_bounds_driver_rows(ray_session):
+    """A 100%-match corpus ships <= k rows per block to the driver,
+    never the corpus (VERDICT r2 item 2)."""
+    from greenocr_ray.functions.corpus import _keyword_hits
+
+    n, k = 400, 5
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), type=pa.int64()),
+            # every doc matches, with distinct counts so top-k is unique
+            "text": [("cat " * (1 + i % 17)).strip() for i in range(n)],
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    hits = _keyword_hits(ds, "cat", k)
+    assert hits.count() <= 4 * k  # bounded by k x blocks
+    out = keyword_search(ds, "cat", k=k)
+    # exact despite truncation: matches a full pandas computation
+    exp = (
+        pd.DataFrame({"doc_id": range(n), "n_hits": [1 + i % 17 for i in range(n)]})
+        .sort_values(["n_hits", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert out["n_hits"].tolist() == exp["n_hits"].tolist()
+
+
+def test_bm25_partial_topk_bounds_driver_rows(ray_session):
+    """Same bound for BM25: every scoring task emits at most k rows."""
+    import ray
+
+    from greenocr_ray.functions.corpus import _bm25_hits, bm25_search
+
+    n, k = 300, 4
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), type=pa.int64()),
+            "text": [
+                ("data " * (1 + i % 7) + "filler " * (i % 3)).strip()
+                for i in range(n)
+            ],
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3)
+    full = bm25_search(ds, ["data"], k=k)
+    assert len(full) == k
+    params = ray.put(({"data": 1.0}, 5.0))
+    hits = _bm25_hits(ds, params, 1.5, 0.75, k)
+    assert hits.count() <= 3 * k

@@ -5,8 +5,10 @@ and color type, malformed-input rejection, and the OCR decode path
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
+from greenocr_ray import png
 from greenocr_ray.functions.multimodal import decode_raster
 from greenocr_ray.png import SIGNATURE, decode_png, encode_png, is_png
 
@@ -136,3 +138,56 @@ def test_ocr_png_payload_matches_raw():
     text_png, conf_png = rec.recognize(decoded)
     assert text_png == text_raw == "the quick fox 42"
     assert conf_png == conf_raw
+
+
+def test_corrupt_idat_raises_valueerror_everywhere():
+    """Corrupted IDAT must surface as ValueError (not zlib.error), so
+    every skip-and-continue guard in the engine catches it (ADVICE r2)."""
+    import pytest
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    data = bytearray(png.encode_png(img))
+    # flip bytes inside the IDAT payload -> zlib.decompress fails
+    idat_at = bytes(data).find(b"IDAT")
+    data[idat_at + 8] ^= 0xFF
+    data[idat_at + 9] ^= 0xFF
+    with pytest.raises(ValueError):
+        png.decode_png(bytes(data))
+    # truncated body: signature valid, missing IEND
+    with pytest.raises(ValueError):
+        png.decode_png(png.encode_png(img)[:20])
+
+
+def test_stages_skip_corrupt_png_rows(ray_session):
+    """OCR / resize / feature stages emit empty rows for corrupt PNG
+    payloads instead of crashing the stage (ADVICE r2 items 1-2)."""
+    from greenocr_ray.functions.multimodal import (
+        ImageFeatureStage,
+        ImageResizeStage,
+    )
+    from greenocr_ray.stages.ocr import OcrMediaActor
+
+    good = np.full((16, 40), 255, dtype=np.uint8)
+    good_png = png.encode_png(good)
+    trunc = png.encode_png(good)[:24]  # valid signature, truncated body
+    corrupt = bytearray(png.encode_png(good))
+    at = bytes(corrupt).find(b"IDAT")
+    corrupt[at + 8] ^= 0xFF
+
+    batch = pa.table(
+        {
+            "media_ref": ["ok", "trunc", "bad"],
+            "width": pa.array([40, 40, 40], type=pa.int32()),
+            "height": pa.array([16, 16, 16], type=pa.int32()),
+            "pixels": pa.array(
+                [good_png, trunc, bytes(corrupt)], type=pa.binary()
+            ),
+        }
+    )
+    ocr = OcrMediaActor()(batch)
+    assert ocr.column("text").to_pylist()[1:] == ["", ""]
+    resized = ImageResizeStage(target_h=8)(batch)
+    assert resized.column("width").to_pylist()[1:] == [0, 0]
+    assert resized.column("pixels").to_pylist()[1:] == [b"", b""]
+    feats = ImageFeatureStage()(batch)
+    assert feats.column("ink_density").to_pylist()[1:] == [0.0, 0.0]

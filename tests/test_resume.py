@@ -130,3 +130,42 @@ def test_lineage_record_fields(tmp_path):
         "status",
     ):
         assert field in rec
+
+
+def test_semi_join_preserves_types_and_null_dims(ray_session):
+    """The distributed semi-join must rebuild media rows with their
+    original Arrow types (int32 dims, binary payloads) and keep a
+    tolerated null-dim row as a typed null instead of raising
+    ArrowInvalid on the pandas NaN (ADVICE r2 item 3)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from greenocr_ray.pipelines.extract import _semi_join_media
+
+    media_t = pa.table(
+        {
+            "media_ref": ["m0", "m1", "m2", "m3"],
+            "width": pa.array([10, None, 12, 13], type=pa.int32()),
+            "height": pa.array([4, 5, None, 7], type=pa.int32()),
+            "pixels": pa.array(
+                [b"\x00" * 40, None, b"\x02" * 48, b"\x03" * 91],
+                type=pa.binary(),
+            ),
+        }
+    )
+    media = rd.from_arrow(media_t)
+    needed = rd.from_arrow(
+        pa.table({"media_ref": pa.array(["m0", "m1", "m2"])})
+    )
+    out = _semi_join_media(media, needed, nbuckets=2).to_arrow_refs()
+    import ray
+
+    got = pa.concat_tables(
+        [t for t in ray.get(out) if t.num_rows], promote_options="default"
+    ).sort_by("media_ref")
+    assert got.schema.field("width").type == pa.int32()
+    assert got.schema.field("height").type == pa.int32()
+    assert got.schema.field("pixels").type == pa.binary()
+    assert got.column("media_ref").to_pylist() == ["m0", "m1", "m2"]
+    assert got.column("width").to_pylist() == [10, None, 12]
+    assert got.column("pixels").to_pylist()[1] is None
