@@ -361,3 +361,74 @@ def test_label_centroids_match_numpy(ray_session):
         want = vecs[labels == lab].mean(axis=0)
         got = out[out["label"] == lab].sort_values("dim")["centroid"].to_numpy()
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def _planted_dup_corpus() -> "rd.Dataset":
+    """8 clusters x 4 near-identical copies + 18 unique docs: a
+    high-dup planted corpus where raw LSH candidates >> final pairs."""
+    base = [
+        "the quick brown fox jumps over the lazy dog in the yard",
+        "pack my box with five dozen liquor jugs before noon today",
+        "how vexingly quick daft zebras jump over fences at dawn",
+        "sphinx of black quartz judge my vow said the old monk",
+        "a wizard's job is to vex chumps quickly in fog each day",
+        "the five boxing wizards jump quickly over the frozen pond",
+        "jackdaws love my big sphinx of quartz said nobody ever",
+        "crazy fredrick bought many very exquisite opal jewels",
+    ]
+    suffix = ["", " now", " again", " indeed"]
+    texts = [b + s for b in base for s in suffix]
+    texts += [
+        f"unique document number {i} about topic {i*7} with words "
+        f"alpha beta gamma delta {i} epsilon zeta"
+        for i in range(18)
+    ]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), type=pa.int64()),
+                "text": texts,
+            }
+        )
+    )
+
+
+def test_minhash_distributed_end_to_end(ray_session, monkeypatch):
+    """Forced-distributed near-dup dedup on a planted high-dup corpus:
+    identical output to the driver path, and the ONLY pair-shaped
+    frame that reaches the driver is the final thresholded result
+    (VERDICT r2 item 1 done-criterion)."""
+    import greenocr_ray.functions.dedup as D
+
+    ds = _planted_dup_corpus()
+    expected = D.minhash_dedup_pairs(ds, threshold=0.6)
+    assert len(expected) >= 8 * 6  # every within-cluster pair verified
+
+    monkeypatch.setattr(D, "_BAND_ROWS_DRIVER_LIMIT", 0)
+    monkeypatch.setattr(D, "_PAIR_DRIVER_LIMIT", 0)
+    frames = []
+    orig_tp = rd.Dataset.to_pandas
+    def spy(self, *a, **k):
+        df = orig_tp(self, *a, **k)
+        frames.append(frozenset(df.columns))
+        return df
+    monkeypatch.setattr(rd.Dataset, "to_pandas", spy)
+
+    out = D.minhash_dedup_pairs(ds, threshold=0.6, force_distributed=True)
+    pd.testing.assert_frame_equal(out, expected)
+    pair_frames = [c for c in frames if {"doc_a", "doc_b"} <= c]
+    assert len(pair_frames) == 1  # only the final output collects
+    assert "jaccard_sim" in pair_frames[0]  # ...and it is the verified one
+
+
+def test_ngram_jaccard_distributed_matches_driver(ray_session, monkeypatch):
+    import greenocr_ray.functions.dedup as D
+
+    ds = _planted_dup_corpus()
+    expected = D.ngram_jaccard_pairs(ds, threshold=0.5, max_hamming=16)
+    monkeypatch.setattr(D, "_BAND_ROWS_DRIVER_LIMIT", 0)
+    monkeypatch.setattr(D, "_PAIR_DRIVER_LIMIT", 0)
+    out = D.ngram_jaccard_pairs(
+        ds, threshold=0.5, max_hamming=16, force_distributed=True
+    )
+    pd.testing.assert_frame_equal(out, expected)
