@@ -25,7 +25,10 @@ import pyarrow.parquet as pq
 def _interleaved(sf_dir: str, max_docs: int | None = None) -> dict[str, str]:
     from greenocr_ray.pipelines.interleave import build_interleaved
 
-    tag = hashlib.md5(f"{sf_dir}|{max_docs}".encode()).hexdigest()[:10]
+    # bump the version marker whenever the derivation semantics change
+    # (renderable charset, interleave layout), or cached corpora under
+    # /tmp go stale against the new expected_flat ground truth
+    tag = hashlib.md5(f"{sf_dir}|{max_docs}|v3".encode()).hexdigest()[:10]
     return build_interleaved(sf_dir, f"/tmp/greenocr_interleaved/{tag}", max_docs)
 
 

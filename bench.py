@@ -127,7 +127,7 @@ def main() -> None:
     from greenocr_ray.pipelines.sharded import ShardedOptions, run_sharded_extraction
 
     # ---- untimed prep: derive the interleaved corpus (cached in /tmp)
-    tag = hashlib.md5(f"{sf_dir}|bench-v2|r{repeat}".encode()).hexdigest()[:10]
+    tag = hashlib.md5(f"{sf_dir}|bench-v3|r{repeat}".encode()).hexdigest()[:10]
     corpus_dir = f"/tmp/greenocr_bench/{tag}"
     paths = build_interleaved(sf_dir, corpus_dir, repeat=repeat)
     n_docs = pq.read_table(paths["documents"], columns=["doc_id"]).num_rows

@@ -29,7 +29,10 @@ WORDS = (
     "the fast key order sort table scan merge part window small hash join "
     "spark group query row data slow filter customer line batch value stream "
     "index plan cost page block cache disk read write shard node task worker "
-    "span text media image faded ink press old archive letter record field"
+    "span text media image faded ink press old archive letter record field "
+    # the reference's target corpus is Germanic/Nordic (exe_t.py:79
+    # vocab); fixture lines must exercise the diacritic glyph set
+    "straße grün müde äldre försök høst æble år Åse Ærø Øst Über Änder Östen"
 ).split()
 
 _BOILERPLATE = [

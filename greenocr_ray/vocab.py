@@ -39,8 +39,19 @@ CHAR_TO_IDX: dict[str, int] = {c: i + 1 for i, c in enumerate(VOCAB)}
 IDX_TO_CHAR: dict[int, str] = {i + 1: c for i, c in enumerate(VOCAB)}
 IDX_TO_CHAR[BLANK_INDEX] = ""
 
+# The reference's raison d'être is faded GERMANIC/NORDIC documents:
+# its vocabulary (exe_t.py:79) carries the umlaut/Nordic set and the
+# codec round-trips it, so the renderer/recognizer must read it too —
+# an extraction engine that silently drops every umlaut is wrong on
+# the reference's own target corpus.
+NORDIC: str = "äöüÄÖÜßåÅæÆøØ"
+
 # The subset the deterministic glyph renderer/recognizer supports.
-RENDERABLE: str = string.ascii_letters + string.digits + string.punctuation + " "
+# The atlas generator is codepoint-generic; every char here gets a
+# deterministic glyph with guaranteed Hamming margin (glyphs.py).
+RENDERABLE: str = (
+    string.ascii_letters + string.digits + string.punctuation + " " + NORDIC
+)
 
 
 def encode_text(text: str) -> list[int]:

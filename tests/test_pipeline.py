@@ -114,3 +114,28 @@ def test_empty_spans_doc_preserved_and_null_dims_skipped(ray_session):
     assert list(res.loc["d-empty", "spans"]) == []
     spans = list(res.loc["d-nanw", "spans"])
     assert [(s["kind"], s["text"]) for s in spans] == [("ocr", "")]
+
+
+def test_diacritic_extraction_end_to_end():
+    """The reference's target corpus is Germanic/Nordic (exe_t.py:79):
+    a fixture corpus whose expected spans carry umlauts/Nordic chars
+    must extract EXACTLY — no silent OOV drops (VERDICT r2 item 3)."""
+    docs, media, expected = make_corpus(n_docs=40, seed=77)
+    # the generated corpus genuinely exercises the diacritic set
+    all_expected = "".join(
+        s["text"] for spans in expected.column("spans").to_pylist() for s in spans
+    )
+    covered = {c for c in "äöüßåæø" if c in all_expected}
+    assert covered == set("äöüßåæø"), f"fixture misses {set('äöüßåæø')-covered}"
+    out = extract_dataset(
+        rd.from_arrow(docs),
+        rd.from_arrow(media),
+        ExtractOptions(ocr_concurrency=(1, 3), join_partitions=4),
+    )
+    res = out.to_pandas().set_index("doc_id")
+    exp = expected.to_pandas().set_index("doc_id")
+    assert sorted(res.index) == sorted(exp.index)
+    for doc_id in exp.index:
+        assert spans_key(res.loc[doc_id, "spans"]) == spans_key(
+            exp.loc[doc_id, "spans"]
+        ), doc_id
