@@ -231,14 +231,39 @@ def _q_quality(sf_dir: str) -> Any:
 
 
 def _q_langid(sf_dir: str) -> Any:
+    """Machine-gated: the distributed actor-pool LangId predictions
+    must agree doc-for-doc with an independent driver-side recompute
+    (the sf tables' lang labels are synthetic — same English-ish word
+    pool for every label — so label accuracy is not a meaningful gate
+    here; accuracy on genuinely distinct languages is pytest-gated in
+    tests/test_operators.py)."""
+    import pandas as pd
     import ray.data as rd
 
-    from greenocr_ray.functions.textstats import langid_accuracy
+    from greenocr_ray.functions.textstats import LangId
 
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
-    return langid_accuracy(ds).sort_values("lang").reset_index(drop=True)
+    scored = (
+        ds.map_batches(LangId, batch_format="pandas", concurrency=(2, 8))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    clf = LangId()  # fresh instance, no Ray, no shared cache
+    ref = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ref["ref_pred"] = [clf.classify(t) for t in ref["text"]]
+    merged = scored.merge(ref[["doc_id", "ref_pred"]], on="doc_id")
+    merged["ok"] = merged["pred_lang"] == merged["ref_pred"]
+    out = (
+        merged.groupby("lang", sort=True)
+        .agg(n_docs=("doc_id", "size"), consistent=("ok", "all"))
+        .reset_index()
+    )
+    return out
 
 
 def _q_fingerprints(sf_dir: str) -> Any:
@@ -290,14 +315,26 @@ def _q_minhash_pairs(sf_dir: str) -> Any:
 
 
 def _q_simhash(sf_dir: str) -> Any:
+    """Machine-gated: the distributed SimHasher stage's 64-bit hash
+    must equal an independent per-doc driver recompute (fresh hasher,
+    no Ray, no token cache reuse) — a batching/caching/shuffle bug
+    flips ``consistent`` and the hash check fails."""
+    import numpy as np
     import ray.data as rd
 
-    from greenocr_ray.functions.dedup import simhash_table
+    from greenocr_ray.functions.dedup import SimHasher, simhash_table
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = simhash_table(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
-    out["simhash"] = out["simhash"].astype("uint64")
-    return out
+    ref = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    fresh = SimHasher()
+    ref_hash = np.array(
+        [fresh.simhash(t) for t in ref["text"]], dtype=np.uint64
+    )
+    out["consistent"] = out["simhash"].astype("uint64").to_numpy() == ref_hash
+    return out[["doc_id", "consistent"]]
 
 
 def _query_vec(sf_dir: str) -> np.ndarray:
@@ -318,19 +355,34 @@ def _q_knn(sf_dir: str) -> Any:
 
 
 def _q_knn_lsh(sf_dir: str) -> Any:
+    """Machine-gated ANN: multi-probe LSH top-k recall vs the exact
+    (oracle-green) knn must be >= 0.9. The sf embeddings are
+    near-isotropic (top-10 cosine ~0.28-0.37), so hyperplane LSH needs
+    a wide probe radius here: nbits=4, radius 2 scans 11/16 of the
+    buckets — the recall/scan tradeoff is the point of the gate."""
+    import pandas as pd
     import ray.data as rd
 
-    from greenocr_ray.functions.similarity import knn_cosine_lsh
+    from greenocr_ray.functions.similarity import knn_cosine, knn_cosine_lsh
 
     ds = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    return knn_cosine_lsh(ds, _query_vec(sf_dir), k=10, exclude={0})
+    q = _query_vec(sf_dir)
+    exact = knn_cosine(ds, q, k=10, exclude={0})
+    approx = knn_cosine_lsh(
+        ds, q, k=10, nbits=4, probe_hamming=2, exclude={0}
+    )
+    recall = len(set(approx["vec_id"]) & set(exact["vec_id"])) / 10.0
+    return pd.DataFrame({"k": [10], "recall_ok": [bool(recall >= 0.9)]})
 
 
 def _q_media_resize(sf_dir: str) -> Any:
     """Aspect-preserving h=64 resize over payload rasters (multimodal
-    actor-pool stage; rows-only — emits binary payloads)."""
+    actor-pool stage). The output DIMS are SQL-expressible —
+    round(w*64/h) x 64 — so DuckDB recomputes them from the media
+    table's metadata and hash-compares (the resized CONTENT is golden-
+    tested in pytest; binary payloads don't hash portably)."""
     import ray.data as rd
 
     from greenocr_ray.functions.multimodal import ImageResizeStage
@@ -349,12 +401,9 @@ def _q_media_resize(sf_dir: str) -> Any:
         .sort_values("media_ref")
         .reset_index(drop=True)
     )
-    # payload bytes don't hash stably across pandas versions; project
-    # the deterministic metadata + a content checksum instead
-    import zlib as _z
-
-    out["payload_crc"] = [int(_z.crc32(p)) for p in out["pixels"]]
-    return out[["media_ref", "width", "height", "payload_crc"]]
+    out["width"] = out["width"].astype("int64")
+    out["height"] = out["height"].astype("int64")
+    return out[["media_ref", "width", "height"]]
 
 
 def _q_media_features(sf_dir: str) -> Any:
@@ -401,27 +450,53 @@ def _q_near_dup_embeddings_blocked(sf_dir: str) -> Any:
 
 
 def _q_near_dup_embeddings_lsh(sf_dir: str) -> Any:
-    """Approximate LSH-bucketed near-dup pairs (the 100-TB path;
-    recall ~0.999 at sim >= 0.8 by construction, so a high threshold)."""
+    """Machine-gated: LSH-bucketed near-dup pair recall vs the exact
+    (oracle-green) all-pairs variant at the same threshold must be
+    >= 0.9; the oracle recomputes the exact pair count in SQL, so a
+    broken exact side cannot mask a broken approximate side."""
+    import pandas as pd
     import ray.data as rd
 
-    from greenocr_ray.functions.similarity import embedding_near_dup_pairs_lsh
+    from greenocr_ray.functions.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
 
     ds = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    return embedding_near_dup_pairs_lsh(ds, threshold=0.4, nbits=4, n_tables=16)
+    exact = embedding_near_dup_pairs(ds, threshold=0.4)
+    approx = embedding_near_dup_pairs_lsh(
+        ds, threshold=0.4, nbits=4, n_tables=16
+    )
+    ex = set(zip(exact.iloc[:, 0], exact.iloc[:, 1]))
+    ap = set(zip(approx.iloc[:, 0], approx.iloc[:, 1]))
+    recall = len(ex & ap) / max(len(ex), 1)
+    return pd.DataFrame(
+        {
+            "n_exact_pairs": pd.array([len(ex)], dtype="int64"),
+            "recall_ok": [bool(recall >= 0.9)],
+        }
+    )
 
 
 def _q_knn_ivf(sf_dir: str) -> Any:
+    """Machine-gated ANN: IVF top-k recall vs the exact (oracle-green)
+    knn must be >= 0.9 (nprobe=12 of nlist=16 on near-isotropic
+    embeddings — see _q_knn_lsh on why the scan fraction is high)."""
+    import pandas as pd
     import ray.data as rd
 
-    from greenocr_ray.functions.similarity import knn_cosine_ivf
+    from greenocr_ray.functions.similarity import knn_cosine, knn_cosine_ivf
 
     ds = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    return knn_cosine_ivf(ds, _query_vec(sf_dir), k=10, exclude={0})
+    q = _query_vec(sf_dir)
+    exact = knn_cosine(ds, q, k=10, exclude={0})
+    approx = knn_cosine_ivf(ds, q, k=10, nprobe=12, exclude={0})
+    recall = len(set(approx["vec_id"]) & set(exact["vec_id"])) / 10.0
+    return pd.DataFrame({"k": [10], "recall_ok": [bool(recall >= 0.9)]})
 
 
 def _q_ngram_jaccard(sf_dir: str) -> Any:
@@ -560,12 +635,28 @@ def _q_tfidf_top_terms(sf_dir: str) -> Any:
 
 
 def _q_approx_distinct_tokens(sf_dir: str) -> Any:
+    """Machine-gated sketch: the HLL estimate must land within 2% of
+    the exact distinct-token count; the exact count is ALSO emitted
+    and hash-compared against DuckDB's COUNT(DISTINCT), gating both
+    the sketch and the tokenizer parity."""
+    import pandas as pd
     import ray.data as rd
 
-    from greenocr_ray.functions.corpus import approx_distinct_tokens
+    from greenocr_ray.functions.corpus import (
+        approx_distinct_tokens,
+        exact_distinct_tokens,
+    )
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-    return approx_distinct_tokens(ds)
+    est = int(approx_distinct_tokens(ds).iloc[0, 0])
+    exact = exact_distinct_tokens(ds)
+    ok = abs(est - exact) / max(exact, 1) <= 0.02
+    return pd.DataFrame(
+        {
+            "exact_distinct": pd.array([exact], dtype="int64"),
+            "within_2pct": [bool(ok)],
+        }
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -643,9 +734,12 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     try:  # needs an initialised Ray if the corpus isn't cached yet
         flagship_paths = _interleaved(sf_dir, max_docs=200)
         expected_flat = flagship_paths["expected_flat"]
-    except Exception:  # no Ray session: fall back to the cache path
-        tag = hashlib.md5(f"{sf_dir}|200".encode()).hexdigest()[:10]
+        media_100 = _interleaved(sf_dir, max_docs=100)["media"]
+    except Exception:  # no Ray session: fall back to the cache paths
+        tag = hashlib.md5(f"{sf_dir}|200|v3".encode()).hexdigest()[:10]
         expected_flat = f"/tmp/greenocr_interleaved/{tag}/expected_flat.parquet"
+        tag100 = hashlib.md5(f"{sf_dir}|100|v3".encode()).hexdigest()[:10]
+        media_100 = f"/tmp/greenocr_interleaved/{tag100}/media"
     return {
         "extract_spans": f"""
             SELECT doc_id, "offset", kind, text, media_ref
@@ -671,6 +765,47 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT doc_id, TRUE AS spans_match FROM (
                 SELECT DISTINCT doc_id FROM read_parquet('{expected_flat}')
             ) ORDER BY doc_id
+        """,
+        # self-gated sketches/ANN (the query computes a pass flag from
+        # an internal exact-vs-approx comparison; the oracle recomputes
+        # every SQL-expressible column and pins the flag true — a
+        # broken operator flips the flag and the value hash diverges)
+        "media_resize": f"""
+            SELECT media_ref,
+                   CAST(round(width * 64.0 / height) AS BIGINT) AS width,
+                   CAST(64 AS BIGINT) AS height
+            FROM read_parquet('{media_100}/*.parquet')
+            ORDER BY media_ref
+        """,
+        "approx_distinct_tokens": """
+            SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS exact_distinct,
+                   TRUE AS within_2pct
+            FROM (
+                SELECT unnest(regexp_extract_all(lower(text), '[0-9a-z_]+'))
+                    AS term
+                FROM documents
+            )
+        """,
+        "langid_accuracy": """
+            SELECT lang, COUNT(*) AS n_docs, TRUE AS consistent
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "simhash": """
+            SELECT doc_id, TRUE AS consistent
+            FROM documents ORDER BY doc_id
+        """,
+        "knn_cosine_lsh": """
+            SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok
+        """,
+        "knn_cosine_ivf": """
+            SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok
+        """,
+        "near_dup_embeddings_lsh": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+                   TRUE AS recall_ok
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
         """,
         "q1_pricing_summary": """
             -- intermediate ROUND at the sums' exact decimal precision

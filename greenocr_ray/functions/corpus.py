@@ -522,6 +522,25 @@ def _token_hashes(texts: list[str]) -> np.ndarray:
     return _mix64(np.array(hs, dtype=np.uint64))
 
 
+def exact_distinct_tokens(docs: rd.Dataset) -> int:
+    """Exact distinct-token count: per-batch DISTINCT-term partials
+    (vocab-bounded, like the tf-idf DF pass) folded on the driver —
+    the reference answer the HLL sketch is gated against."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        terms: set[str] = set()
+        for s in t.column("text").to_pylist():
+            terms.update(_TOKEN_RE.findall(s.lower()))
+        return pa.table({"term": pa.array(sorted(terms), type=pa.string())})
+
+    seen: set[str] = set()
+    for b in docs.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        seen.update(b.column("term").to_pylist())
+    return len(seen)
+
+
 def approx_distinct_tokens(docs: rd.Dataset) -> pd.DataFrame:
     """Approximate distinct-token count across the corpus: per-batch
     HLL partials (4 KB each) merged on the driver."""

@@ -103,14 +103,27 @@ def knn_cosine_lsh(
     k: int = 10,
     nbits: int = 8,
     dim: int = 64,
+    probe_hamming: int = 0,
     exclude: set[int] | None = None,
 ) -> pd.DataFrame:
-    """ANN top-k: scan only the query's LSH bucket. Approximate —
-    recall < 1 by construction; the bucket scan is the 1/2^nbits
-    scale path."""
+    """ANN top-k: scan the query's LSH bucket plus every bucket within
+    ``probe_hamming`` sign flips (multi-probe). Approximate — recall
+    rises with the probe radius at the cost of scanning
+    sum_{i<=r} C(nbits,i) / 2^nbits of the corpus; radius 0 is the
+    classic single-bucket 1/2^nbits scale path."""
+    from itertools import combinations
+
     idx = LshIndexer(dim=dim, nbits=nbits)
     q = np.asarray(query, dtype=np.float64)
     qbucket = int(idx.bucket_of(q[None, :])[0])
+    probes = {qbucket}
+    for r in range(1, probe_hamming + 1):
+        for flips in combinations(range(nbits), r):
+            b = qbucket
+            for f in flips:
+                b ^= 1 << f
+            probes.add(b)
+    probe_arr = pa.array(sorted(probes), type=pa.int64())
     bucketed = embeddings.map_batches(
         LshIndexer,
         fn_constructor_kwargs={"dim": dim, "nbits": nbits},
@@ -118,12 +131,12 @@ def knn_cosine_lsh(
         concurrency=(2, 8),
     )
 
-    def only_bucket(t: pa.Table) -> pa.Table:
+    def only_probed(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return t.filter(pc.equal(t.column("bucket"), qbucket))
+        return t.filter(pc.is_in(t.column("bucket"), probe_arr))
 
-    in_bucket = bucketed.map_batches(only_bucket, batch_format="pyarrow")
+    in_bucket = bucketed.map_batches(only_probed, batch_format="pyarrow")
     return knn_cosine(in_bucket, query, k=k, exclude=exclude)
 
 

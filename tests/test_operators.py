@@ -432,3 +432,21 @@ def test_ngram_jaccard_distributed_matches_driver(ray_session, monkeypatch):
         ds, threshold=0.5, max_hamming=16, force_distributed=True
     )
     pd.testing.assert_frame_equal(out, expected)
+
+
+def test_langid_accurate_on_genuine_languages(ray_session):
+    """The sf tables' lang labels are synthetic (same word pool for
+    every label), so the queries() gate checks stage-vs-driver
+    consistency; ACCURACY is gated here, on genuinely distinct text."""
+    from greenocr_ray.functions.textstats import LangId
+
+    samples = {
+        "en": "the cat sat on the mat and the dog ran along the lane",
+        "de": "der hund und die katze schlafen ich bin ein berliner schnell",
+        "fr": "les enfants que nous aimons sont dans le jardin des plantes",
+        "es": "los ninos estan en la casa que adorado cancion de la nacion",
+        "zh": "我们在花园里看书",
+    }
+    clf = LangId()
+    preds = {lang: clf.classify(t) for lang, t in samples.items()}
+    assert preds == {k: k for k in samples}
