@@ -30,7 +30,7 @@ import ray.data as rd
 
 from ..sources.storage import read_table
 from ..stages.clean_text import clean_text_spans
-from ..stages.explode import assemble_group, explode_spans
+from ..stages.explode import assemble_docs, explode_spans
 from ..state.lineage import check_run_meta
 from ..stages.ocr import OCR_BATCH_SIZE, OcrMediaActor
 from ..state.lineage import (
@@ -213,19 +213,103 @@ def extract_flat(
 def extract_dataset(
     documents: rd.Dataset, media: rd.Dataset, opts: ExtractOptions | None = None
 ) -> rd.Dataset:
-    """Full extraction -> (doc_id, spans, mean_confidence) rows.
+    """Full extraction -> (doc_id, spans, mean_confidence) rows, in
+    ONE streaming plan (join + reassembly shuffle, no materialize
+    barrier — the round-2 barrier is gone; see _assemble_streaming
+    for how the Ray 2.49.2 schema-broadcast race is neutralized)."""
+    opts = opts or ExtractOptions()
+    return _assemble_streaming(
+        extract_flat(documents, media, opts), opts.n_parts
+    )
 
-    The reassembly groupby runs under the engine's HASH_SHUFFLE
-    strategy (greenocr_ray.__init__) — no sort-sampling double
-    execution. ``_hash_groupby_safe`` stages the flat spans (text
-    only, ≈ output size) and drops empty blocks first: Ray 2.49.2's
-    hash shuffle broadcasts the schema of whichever block arrives
-    first, and a schema-less empty from an empty join partition
-    intermittently poisons the aggregators (see rayutil)."""
-    out = _hash_groupby_safe(extract_flat(documents, media, opts))
-    return out.groupby(
-        "doc_id", num_partitions=opts.n_parts if opts else 16
-    ).map_groups(assemble_group, batch_format="pandas")
+
+_SENTINEL_ASSEMBLY_DOC = "\x00__assembly_sentinel__"
+
+
+def _bucket_partition(b: int, num_partitions: int) -> int:
+    """Reproduce Ray 2.49.2's hash_partition assignment for an int32
+    bucket value (transform_pyarrow.hash_partition hashes the tuple of
+    pyarrow scalars; INT scalar hashing is PYTHONHASHSEED-independent,
+    verified across seeds — strings would not be)."""
+    arr = pa.array([b], type=pa.int32())
+    return hash((arr[0],)) % num_partitions
+
+
+def _assembly_sentinels(n_parts: int) -> pa.Table:
+    """One typed sentinel span row per hash partition of the assembly
+    shuffle. Why: Ray 2.49.2's hash shuffle broadcasts the schema of
+    whichever block shuffles FIRST; schema-less empties (from empty
+    join partitions, unfixable in-stream because map_batches skips
+    empty blocks) poison empty TARGET partitions, whose map_groups
+    then emits more schema-less blocks — and an all-poisoned partition
+    crashes the aggregator finalize key-sort (intermittent). With a
+    sentinel pinned to every partition, no target partition is ever
+    empty: every assemble fn call sees real rows and returns a TYPED
+    table, removing both the crash and the need for the round-2
+    materialize + drop_empty_blocks barrier."""
+    buckets: list[int] = []
+    covered: set[int] = set()
+    for b in range(n_parts):  # every real bucket value 0..n_parts-1
+        covered.add(_bucket_partition(b, n_parts))
+        buckets.append(b)
+    v = n_parts
+    while len(covered) < n_parts:  # partitions no real bucket hits
+        p = _bucket_partition(v, n_parts)
+        if p not in covered:
+            covered.add(p)
+            buckets.append(v)
+        v += 1
+    n = len(buckets)
+    return pa.table(
+        {
+            "doc_id": pa.array([_SENTINEL_ASSEMBLY_DOC] * n, type=pa.string()),
+            "offset": pa.array([0] * n, type=pa.int64()),
+            "kind": pa.array(["text"] * n, type=pa.string()),
+            "text": pa.array([""] * n, type=pa.string()),
+            "media_ref": pa.array([""] * n, type=pa.string()),
+            "confidence": pa.array([0.0] * n, type=pa.float64()),
+            "_db": pa.array(buckets, type=pa.int32()),
+        }
+    )
+
+
+def _assemble_streaming(flat: rd.Dataset, n_parts: int) -> rd.Dataset:
+    """Reassemble flat span rows per doc WITHOUT a materialize barrier:
+    group on an explicit int32 doc-bucket column (crc32(doc_id) mod
+    n_parts) so sentinel rows can be pinned one-per-partition (see
+    _assembly_sentinels), and return TYPED arrow from every group."""
+    import zlib
+
+    from ..schema import EXTRACTED_SCHEMA
+
+    spans_type = EXTRACTED_SCHEMA.field("spans").type
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = [
+            zlib.crc32(d.encode()) % n_parts
+            for d in t.column("doc_id").to_pylist()
+        ]
+        return t.append_column("_db", pa.array(b, type=pa.int32()))
+
+    def assemble_typed(g: pd.DataFrame) -> pa.Table:
+        g = g[g["doc_id"] != _SENTINEL_ASSEMBLY_DOC]
+        doc_ids, span_lists, confs = (
+            assemble_docs(g) if len(g) else ([], [], [])
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.string()),
+                "spans": pa.array(span_lists, type=spans_type),
+                "mean_confidence": pa.array(confs, type=pa.float64()),
+            }
+        )
+
+    return (
+        flat.map_batches(add_bucket, batch_format="pyarrow")
+        .union(rd.from_arrow(_assembly_sentinels(n_parts)))
+        .groupby("_db", num_partitions=n_parts)
+        .map_groups(assemble_typed, batch_format="pandas")
+    )
 
 
 def _hash_groupby_safe(out: rd.Dataset) -> rd.Dataset:
