@@ -306,33 +306,47 @@ def embedding_near_dup_pairs(
     the sparse qualifying pairs. O(n^2) flops are inherent to EXACT
     all-pairs — for corpora where that is unaffordable use the
     LSH-bucketed ``embedding_near_dup_pairs_lsh`` below. Memory:
-    driver O(chunk), task O(2 chunks) (~64 MB at the default
-    chunk_rows x 64-d float64)."""
-    chunk_refs: list = []
-    buf_ids: list[np.ndarray] = []
-    buf_m: list[np.ndarray] = []
-    n_buf = 0
+    driver O(refs) — normalization runs in map_batches tasks and the
+    chunks are the materialized dataset's own blocks, so NO vector
+    data ever moves through the driver; task O(2 chunks) (~64 MB at
+    the default chunk_rows x 64-d float64)."""
+    import math
 
-    def flush():
-        nonlocal buf_ids, buf_m, n_buf
-        if not n_buf:
-            return
-        ids = np.concatenate(buf_ids)
-        m = np.concatenate(buf_m).astype(np.float64)
+    n_rows = embeddings.count()  # parquet footers / metadata, cheap
+    if n_rows == 0:
+        return pd.DataFrame(_EMPTY_PAIRS)
+
+    def normalize_rows(t: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(t)
+        m = m.astype(np.float64)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
-        chunk_refs.append(ray.put((ids, m / norms)))
-        buf_ids, buf_m, n_buf = [], [], 0
+        m = m / norms
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "unit": pa.FixedSizeListArray.from_arrays(
+                    pa.array(m.ravel(), type=pa.float64()), m.shape[1]
+                ),
+            }
+        )
 
-    for b in embeddings.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        i, m = _batch_matrix(b)
-        buf_ids.append(i)
-        buf_m.append(m)
-        n_buf += len(i)
-        if n_buf >= chunk_rows:
-            flush()
-    flush()
-    if not chunk_refs:  # empty embeddings table -> empty pair frame
+    n_chunks = max(1, math.ceil(n_rows / chunk_rows))
+    normalized = (
+        embeddings.map_batches(normalize_rows, batch_format="pyarrow")
+        .repartition(n_chunks)
+        .materialize()
+    )
+    # the chunks ARE the materialized blocks: the driver handles only
+    # ObjectRefs (`normalized` must stay alive until the pair scan is
+    # consumed — its driver handle owns the blocks)
+    chunk_refs = [
+        ref
+        for bundle in normalized.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if meta.num_rows is None or meta.num_rows > 0
+    ]
+    if not chunk_refs:
         return pd.DataFrame(_EMPTY_PAIRS)
 
     specs = [
@@ -342,11 +356,19 @@ def embedding_near_dup_pairs(
     ]
     refs = chunk_refs  # captured by the closure; refs ship, not chunks
 
+    def _unpack(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = tbl.column("vec_id").to_numpy()
+        unit = tbl.column("unit")
+        if isinstance(unit, pa.ChunkedArray):
+            unit = unit.combine_chunks()
+        m = np.asarray(unit.flatten()).reshape(len(ids), -1)
+        return ids, m
+
     def chunk_pairs(batch: pd.DataFrame) -> pd.DataFrame:
         frames = []
         for i, j in zip(batch["i"], batch["j"]):
-            ids_a, ma = ray.get(refs[int(i)])
-            ids_b, mb = ray.get(refs[int(j)])
+            ids_a, ma = _unpack(ray.get(refs[int(i)]))
+            ids_b, mb = _unpack(ray.get(refs[int(j)]))
             sims = ma @ mb.T
             r, c = np.nonzero(sims >= threshold)
             if i == j:  # within-chunk: upper triangle only
