@@ -132,3 +132,96 @@ def test_external_enhance_seam():
 
     with pytest.raises(ValueError):
         Recognizer(enhance="external")
+
+
+def _ragged_page(line_words, jitter_px, gap_px, pad_px=14, seed=4):
+    """Compose a page where each WORD sits at its own vertical offset
+    (ragged baseline) — stresses segment_lines_cc's interval-overlap
+    grouping; a projection-profile band would mis-split or mis-merge
+    these once jitter approaches the inter-line gap."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    rendered = [[render_line(w) for w in words] for words in line_words]
+    space_px = render_line("a a").shape[1] - 2 * render_line("a").shape[1]
+    line_h = rendered[0][0].shape[0]
+    widths = [
+        sum(im.shape[1] for im in ims) + space_px * (len(ims) - 1)
+        for ims in rendered
+    ]
+    w = max(widths) + 2 * pad_px
+    h = (
+        len(rendered) * (line_h + 2 * jitter_px)
+        + gap_px * (len(rendered) - 1)
+        + 2 * pad_px
+    )
+    page = np.ones((h, w), dtype=np.float32)
+    y = pad_px + jitter_px
+    for ims in rendered:
+        x = pad_px
+        for im in ims:
+            dy = int(rng.integers(-jitter_px, jitter_px + 1))
+            page[y + dy : y + dy + im.shape[0], x : x + im.shape[1]] = im
+            x += im.shape[1] + space_px
+        y += line_h + 2 * jitter_px + gap_px
+    return page
+
+
+def test_page_ragged_baselines_reading_order():
+    """Words jittered +-6 px around each baseline still group into
+    their lines (>=50% y-overlap contract) and read in order."""
+    page = _ragged_page(
+        [
+            ["ragged", "baseline", "first"],
+            ["second", "line", "wanders"],
+            ["third", "stays", "put"],
+        ],
+        jitter_px=6,
+        gap_px=36,
+    )
+    text, conf = Recognizer().recognize_page(page)
+    assert text == "ragged baseline first second line wanders third stays put"
+    assert conf > 0.5
+
+
+def test_page_unequal_columns_ragged_noisy():
+    """Unequal column widths + ragged baselines + salt-and-pepper
+    noise: reading order stays column-major left-to-right."""
+    left = _ragged_page([["one", "two"], ["three", "four"]], 5, 36, seed=9)
+    right = _ragged_page(
+        [["a", "much", "wider", "right", "column"], ["with", "two", "lines"]],
+        5,
+        36,
+        seed=10,
+    )
+    h = max(left.shape[0], right.shape[0])
+    gutter = 140
+    page = np.ones((h, left.shape[1] + gutter + right.shape[1]), dtype=np.float32)
+    page[: left.shape[0], : left.shape[1]] = left
+    page[: right.shape[0], left.shape[1] + gutter :] = right
+    rng = np.random.Generator(np.random.PCG64(123))
+    n = int(0.002 * page.size)  # salt-and-pepper impulses
+    ys = rng.integers(0, page.shape[0], n)
+    xs = rng.integers(0, page.shape[1], n)
+    page[ys[: n // 2], xs[: n // 2]] = 0.25  # pepper (sub-despeckle specks)
+    page[ys[n // 2 :], xs[n // 2 :]] = 1.0  # salt
+    text, _ = Recognizer().recognize_page(page)
+    assert text == (
+        "one two three four a much wider right column with two lines"
+    )
+
+
+def test_segment_lines_cc_ragged_grouping():
+    """Direct kernel check: boxes with ragged tops group by interval
+    overlap and emit top-to-bottom, left-to-right."""
+    from greenocr_ray import kernels
+
+    mask = np.zeros((100, 120), dtype=bool)
+    # line 1: three boxes, tops at 10/16/12 (ragged), heights 20
+    for x0, y0 in ((5, 10), (45, 16), (85, 12)):
+        mask[y0 : y0 + 20, x0 : x0 + 20] = True
+    # line 2: two boxes, tops at 60/66
+    for x0, y0 in ((20, 60), (70, 66)):
+        mask[y0 : y0 + 20, x0 : x0 + 20] = True
+    lines = kernels.segment_lines_cc(mask)
+    assert [len(ln) for ln in lines] == [3, 2]
+    assert [b[2] for b in lines[0]] == [5, 45, 85]  # x order within line
+    assert [b[2] for b in lines[1]] == [20, 70]

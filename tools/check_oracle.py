@@ -108,7 +108,8 @@ def main():
             n_ok += 1
     print(f"\n{n_ok} ok, {n_fail} failed")
     ray.shutdown()
+    return n_fail
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(1 if main() else 0)
