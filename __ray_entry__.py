@@ -267,17 +267,38 @@ def _q_langid(sf_dir: str) -> Any:
 
 
 def _q_fingerprints(sf_dir: str) -> Any:
+    """Machine-gated (simhash self-check pattern): distributed
+    winnowing fingerprints (count + xor digest) must equal a driver
+    recompute over ONE whole-table batch — a batching/shuffle bug
+    flips ``consistent``.  ``nonzero`` (a doc >= k utf-8 bytes has at
+    least one fingerprint) is recomputed independently in SQL via
+    octet_length, gating the skip conditions."""
     import ray.data as rd
 
     from greenocr_ray.functions.textstats import fingerprint
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return (
+    out = (
         ds.map_batches(fingerprint, batch_format="pyarrow")
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+    ref = (
+        fingerprint(
+            pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["consistent"] = (
+        (out["doc_id"].to_numpy() == ref["doc_id"].to_numpy())
+        & (out["n_fingerprints"].to_numpy() == ref["n_fingerprints"].to_numpy())
+        & (out["digest"].to_numpy() == ref["digest"].to_numpy())
+    )
+    out["nonzero"] = out["n_fingerprints"].to_numpy() > 0
+    return out[["doc_id", "consistent", "nonzero"]]
 
 
 def _q_dedup_exact(sf_dir: str) -> Any:
@@ -407,13 +428,20 @@ def _q_media_resize(sf_dir: str) -> Any:
 
 
 def _q_media_features(sf_dir: str) -> Any:
+    """Machine-gated (simhash self-check pattern): the distributed
+    actor-pool feature rows must equal a fresh driver recompute at a
+    DIFFERENT batching (single-row batches) — a batching/actor-state
+    bug flips ``consistent``; a codec regression zeroes the features
+    and flips ``decoded`` (every fixture payload is a valid PNG with
+    ink, which the oracle pins TRUE)."""
+    import pyarrow as pa
     import ray.data as rd
 
     from greenocr_ray.functions.multimodal import ImageFeatureStage
 
     paths = _interleaved(sf_dir, max_docs=100)
     media = rd.read_parquet(paths["media"])
-    return (
+    out = (
         media.map_batches(
             ImageFeatureStage, batch_format="pyarrow", batch_size=32, concurrency=(1, 4)
         )
@@ -421,6 +449,23 @@ def _q_media_features(sf_dir: str) -> Any:
         .sort_values("media_ref")
         .reset_index(drop=True)
     )
+    ref_tbl = pq.read_table(paths["media"])
+    fresh = ImageFeatureStage()
+    refs = []
+    for i in range(ref_tbl.num_rows):  # one-row batches: different path
+        refs.append(fresh(ref_tbl.slice(i, 1)))
+    ref = (
+        pa.concat_tables(refs)
+        .to_pandas()
+        .sort_values("media_ref")
+        .reset_index(drop=True)
+    )
+    feat_cols = ["ink_density", "contrast_span", "edge_energy"]
+    out["consistent"] = (out[feat_cols].to_numpy() == ref[feat_cols].to_numpy()).all(
+        axis=1
+    ) & (out["media_ref"].to_numpy() == ref["media_ref"].to_numpy())
+    out["decoded"] = out["ink_density"].to_numpy() > 0.0
+    return out[["media_ref", "consistent", "decoded"]]
 
 
 def _q_near_dup_embeddings(sf_dir: str) -> Any:
@@ -776,6 +821,17 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(64 AS BIGINT) AS height
             FROM read_parquet('{media_100}/*.parquet')
             ORDER BY media_ref
+        """,
+        "media_features": f"""
+            SELECT media_ref, TRUE AS consistent, TRUE AS decoded
+            FROM read_parquet('{media_100}/*.parquet')
+            ORDER BY media_ref
+        """,
+        "fingerprints": """
+            SELECT doc_id, TRUE AS consistent,
+                   coalesce(octet_length(encode(text)) >= 8, FALSE) AS nonzero
+            FROM documents
+            ORDER BY doc_id
         """,
         "approx_distinct_tokens": """
             SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS exact_distinct,
