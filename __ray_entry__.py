@@ -648,6 +648,73 @@ def _q_bm25_search(sf_dir: str) -> Any:
     return bm25_search(ds, ["data", "system"], k=20)
 
 
+def _pii_corpus(sf_dir: str) -> str:
+    """Derive (and cache) the deterministic PII-injected documents
+    table both the Ray query and the DuckDB oracle read. Pure
+    pyarrow/pandas — bit-identical across runs, no Ray needed."""
+    import os
+
+    import pyarrow as pa
+
+    from greenocr_ray.functions.quality import inject_pii
+
+    tag = hashlib.md5(f"{sf_dir}|pii|v1".encode()).hexdigest()[:10]
+    out_dir = f"/tmp/greenocr_pii/{tag}"
+    path = f"{out_dir}/documents.parquet"
+    if not os.path.exists(path):
+        os.makedirs(out_dir, exist_ok=True)
+        docs = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        docs = docs.sort_values("doc_id").reset_index(drop=True)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(pa.Table.from_pandas(inject_pii(docs), preserve_index=False), tmp)
+        os.replace(tmp, path)  # atomic: concurrent derivations race-safe
+    return path
+
+
+def _q_repetition_stats(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.quality import repetition_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        ds.map_batches(repetition_stats, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_pii_scrub(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.quality import pii_scrub
+
+    ds = rd.read_parquet(_pii_corpus(sf_dir), columns=["doc_id", "text"])
+    return (
+        ds.map_batches(pii_scrub, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_contamination(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.quality import contamination_check
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        contamination_check(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_props_stats(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -731,6 +798,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": R.q_top_orders_per_segment,
         "asof_prev_click": R.q_asof_prev_click,
         "distinct_chars": R.q_distinct_chars,
+        "churned_customers": R.q_churned_customers,
+        "rolling_avg": R.q_rolling_avg,
+        "conversion_funnel": R.q_conversion_funnel,
         # corpus management
         "train_test_split": _q_train_test_split,
         "source_stats": _q_source_stats,
@@ -744,6 +814,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "props_stats": _q_props_stats,
         "bm25_search": _q_bm25_search,
+        # data-quality / safety filters
+        "repetition_stats": _q_repetition_stats,
+        "pii_scrub": _q_pii_scrub,
+        "contamination_check": _q_contamination,
         # text analysis
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
@@ -1281,5 +1355,104 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                                             (SELECT e FROM q)) DESC
             LIMIT 10
+        """,
+        "churned_customers": """
+            SELECT n_name, count(*) AS n_customers
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= DATE '2001-01-01'
+            )
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "rolling_avg": """
+            SELECT event_id, user_id,
+                   ROUND(AVG(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+                       AS rolling_avg
+            FROM events ORDER BY user_id, event_id
+        """,
+        "conversion_funnel": """
+            WITH pairs AS (
+              SELECT epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+              FROM events a JOIN events b
+                ON a.user_id = b.user_id
+               AND a.event_type = 'click' AND b.event_type = 'purchase'
+               AND b.ts > a.ts
+               AND epoch_us(b.ts) - epoch_us(a.ts) <= 21600000000
+            )
+            SELECT CASE WHEN lag_us <= 60000000 THEN 'a_u1m'
+                        WHEN lag_us <= 600000000 THEN 'b_u10m'
+                        WHEN lag_us <= 3600000000 THEN 'c_u1h'
+                        ELSE 'd_u6h' END AS lag_bin,
+                   count(*) AS n_pairs
+            FROM pairs GROUP BY lag_bin ORDER BY lag_bin
+        """,
+        "repetition_stats": """
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS word,
+                     unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+              FROM documents
+            ),
+            bigrams AS (
+              SELECT doc_id,
+                     word || ' ' || lead(word)
+                         OVER (PARTITION BY doc_id ORDER BY ord) AS bg
+              FROM words QUALIFY bg IS NOT NULL
+            ),
+            bgc AS (SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY 1, 2),
+            tb AS (SELECT doc_id, max(c) AS top_bigram_count,
+                          sum(c) AS n_bigrams
+                   FROM bgc GROUP BY 1),
+            ws AS (SELECT doc_id, count(*) AS n_words,
+                          count(DISTINCT word) AS n_distinct_words
+                   FROM words GROUP BY 1)
+            SELECT ws.doc_id, n_words, n_distinct_words,
+                   ROUND(1.0 - n_distinct_words / n_words::DOUBLE, 6)
+                       AS dup_word_frac,
+                   COALESCE(top_bigram_count, 0) AS top_bigram_count,
+                   ROUND(COALESCE(top_bigram_count / n_bigrams::DOUBLE, 0), 6)
+                       AS top_bigram_frac
+            FROM ws LEFT JOIN tb USING (doc_id) ORDER BY ws.doc_id
+        """,
+        "pii_scrub": f"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                       '[EMAIL]', 'g'),
+                       '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '[PHONE]', 'g'),
+                       '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '[IP]', 'g')
+                       AS text,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+                   + len(regexp_extract_all(text,
+                       '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b'))
+                   + len(regexp_extract_all(text,
+                       '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b'))
+                       AS n_redactions
+            FROM '{_pii_corpus(sf_dir)}' ORDER BY doc_id
+        """,
+        "contamination_check": """
+            WITH bsh AS (
+              SELECT DISTINCT
+                     unnest([substr(text, i, 20)
+                             for i in range(1, len(text) - 20 + 2)]) AS sh
+              FROM documents WHERE doc_id % 97 = 0
+            ),
+            csh AS (
+              SELECT DISTINCT doc_id,
+                     unnest([substr(text, i, 20)
+                             for i in range(1, len(text) - 20 + 2)]) AS sh
+              FROM documents WHERE doc_id % 97 <> 0
+            ),
+            hits AS (SELECT doc_id, count(*) AS n_shared
+                     FROM csh JOIN bsh USING (sh) GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(n_shared, 0) AS n_shared,
+                   COALESCE(n_shared, 0) >= 5 AS contaminated
+            FROM documents d LEFT JOIN hits USING (doc_id)
+            WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id
         """,
     }

@@ -68,6 +68,7 @@ from .functions import (  # noqa: F401
     dedup,
     merge,
     multimodal,
+    quality,
     relational,
     similarity,
     textstats,

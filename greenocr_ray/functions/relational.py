@@ -569,3 +569,203 @@ def q_events_sliding(sf_dir: str, window_hours: int = 2) -> pd.DataFrame:
         )
     out = pd.concat(out_frames, ignore_index=True)
     return out.sort_values(["event_type", "hour_bucket"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------- anti-join
+
+
+def q_churned_customers(sf_dir: str, since: str = "2001-01-01") -> pd.DataFrame:
+    """Distributed anti-join: customers with NO order since ``since``,
+    counted per nation (SQL NOT EXISTS). Both sides are corpus-scale,
+    so no broadcast: project each to a shared (key, nationkey, src)
+    schema, union, ONE hash groupby on the key, and a group fn that
+    emits the customer row only when no order row is present. The
+    per-nation count then folds through bounded partials (25 keys)."""
+    since_us = pa.scalar(np.datetime64(since, "us"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t.column("c_custkey").cast(pa.int64()),
+                "nationkey": t.column("c_nationkey").cast(pa.int64()),
+                "src": pa.array([0] * len(t), type=pa.int8()),
+            }
+        )
+
+    def order_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("o_orderdate"), since_us))
+        # distinct custkeys per batch: shrinks the shuffle to one row
+        # per (batch, active customer) before the exchange
+        keys = pc.unique(t.column("o_custkey")).cast(pa.int64())
+        return pa.table(
+            {
+                "key": keys,
+                "nationkey": pa.array([-1] * len(keys), type=pa.int64()),
+                "src": pa.array([1] * len(keys), type=pa.int8()),
+            }
+        )
+
+    both = cust.map_batches(cust_side, batch_format="pyarrow").union(
+        orders.map_batches(order_side, batch_format="pyarrow")
+    )
+
+    def anti(g: pa.Table) -> pa.Table:
+        src = g.column("src").to_numpy(zero_copy_only=False)
+        if (src == 1).any():  # customer has a recent order -> drop
+            return pa.table({"nationkey": pa.array([], type=pa.int64())})
+        nk = g.column("nationkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"nationkey": pa.array([int(nk[src == 0][0])], type=pa.int64())}
+        )
+
+    churned = both.groupby("key", num_partitions=16).map_groups(
+        anti, batch_format="pyarrow"
+    )
+
+    def count_partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        return (
+            df.groupby("nationkey", sort=False)
+            .size()
+            .rename("n_customers")
+            .reset_index()
+        )
+
+    counts = combine_small_agg(
+        churned.map_batches(count_partial, batch_format="pyarrow"),
+        ["nationkey"],
+        {"n_customers": "sum"},
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    names = dict(
+        zip(nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist())
+    )
+    counts["n_name"] = counts["nationkey"].map(names)
+    out = counts[["n_name", "n_customers"]].sort_values("n_name")
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+# -------------------------------------------- rolling window aggregate
+
+
+def q_rolling_avg(sf_dir: str, window: int = 4) -> pd.DataFrame:
+    """Per-user rolling mean over the last ``window`` events (SQL
+    ``AVG OVER (PARTITION BY user ORDER BY ts ROWS 3 PRECEDING)``).
+    One groupby(user_id) shuffle; the window pass inside each group is
+    a vectorized pandas rolling — partitioning assumption: one user's
+    history fits a group (same contract as sessionize/asof)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        avg = g["value"].rolling(window, min_periods=1).mean()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "rolling_avg": round_half_away(avg.to_numpy(), 6),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(roll, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+
+
+# ------------------------------------------------- banded range join
+
+
+_FUNNEL_BINS_US = (60_000_000, 600_000_000, 3_600_000_000)
+_FUNNEL_LABELS = ("a_u1m", "b_u10m", "c_u1h", "d_u6h")
+
+
+def q_conversion_funnel(sf_dir: str, window_hours: int = 6) -> pd.DataFrame:
+    """Banded range join (non-equi): every (click -> purchase) pair of
+    the SAME user with 0 < lag <= ``window_hours``, histogrammed by
+    conversion lag. Ray shape: time-bucket co-partitioning — bucket
+    width = the window W; clicks are emitted to their home bucket k
+    AND k+1, purchases to home only, so every qualifying pair meets in
+    exactly one (user, bucket) group (the purchase's home bucket holds
+    exactly one copy of each candidate click). No all-pairs shuffle —
+    the exchange is one hash groupby on (user_id, bucket), and pair
+    counting inside a group is a vectorized searchsorted. Skew bound:
+    a group holds one user x one window of events."""
+    W = window_hours * 3_600_000_000  # microseconds
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def route(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["event_type"].isin(("click", "purchase"))]
+        epoch = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        bucket = epoch // W
+        is_click = (df["event_type"] == "click").to_numpy()
+        user = df["user_id"].to_numpy()
+        # purchases: home bucket; clicks: home and home+1
+        out_user = np.concatenate([user, user[is_click]])
+        out_bucket = np.concatenate([bucket, bucket[is_click] + 1])
+        out_epoch = np.concatenate([epoch, epoch[is_click]])
+        out_click = np.concatenate(
+            [is_click, np.ones(int(is_click.sum()), dtype=bool)]
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(out_user, type=pa.int64()),
+                "bucket": pa.array(out_bucket, type=pa.int64()),
+                "epoch": pa.array(out_epoch, type=pa.int64()),
+                "is_click": pa.array(out_click, type=pa.bool_()),
+            }
+        )
+
+    routed = ds.map_batches(route, batch_format="pyarrow")
+
+    def pairs(g: pa.Table) -> pa.Table:
+        bucket = g.column("bucket")[0].as_py()
+        epoch = g.column("epoch").to_numpy(zero_copy_only=False)
+        is_click = g.column("is_click").to_numpy(zero_copy_only=False)
+        clicks = np.sort(epoch[is_click])
+        # purchases in their HOME bucket only (is_click False rows are
+        # only ever emitted home, so no filter needed beyond the mask)
+        purchases = epoch[~is_click]
+        purchases = purchases[purchases // W == bucket]
+        lags: list[np.ndarray] = []
+        if len(clicks) and len(purchases):
+            lo = np.searchsorted(clicks, purchases - W, side="left")
+            hi = np.searchsorted(clicks, purchases, side="left")  # strict <
+            for p, a, b in zip(purchases, lo, hi):
+                if b > a:
+                    lags.append(p - clicks[a:b])
+        if lags:
+            lag = np.concatenate(lags)
+            bins = np.searchsorted(np.array(_FUNNEL_BINS_US), lag, side="left")
+            lab, cnt = np.unique(bins, return_counts=True)
+            return pa.table(
+                {
+                    "lag_bin": pa.array(
+                        [_FUNNEL_LABELS[i] for i in lab], type=pa.string()
+                    ),
+                    "n_pairs": pa.array(cnt, type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "lag_bin": pa.array([], type=pa.string()),
+                "n_pairs": pa.array([], type=pa.int64()),
+            }
+        )
+
+    parts = routed.groupby(["user_id", "bucket"], num_partitions=16).map_groups(
+        pairs, batch_format="pyarrow"
+    )
+    out = combine_small_agg(parts, ["lag_bin"], {"n_pairs": "sum"})
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.sort_values("lag_bin").reset_index(drop=True)

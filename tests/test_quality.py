@@ -1,0 +1,247 @@
+"""Quality/safety operators (repetition, PII scrub, contamination)
+and the new relational ops (anti-join, rolling window, banded range
+join) — edge-case unit tests; sf0.01 oracle parity is covered by the
+driver gate and tools/check_oracle.py."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _docs_table(rows):
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows], type=pa.string()),
+        }
+    )
+
+
+def test_repetition_stats_edges():
+    from greenocr_ray.functions.quality import repetition_stats
+
+    t = repetition_stats(
+        _docs_table(
+            [
+                (1, ""),  # SQL split('') -> one empty-string word
+                (2, "solo"),
+                (3, "x x x x"),  # top bigram "x x" appears 3x of 3
+                (4, "a b a b c"),
+            ]
+        )
+    ).to_pandas().set_index("doc_id")
+    assert t.loc[1, "n_words"] == 1 and t.loc[1, "top_bigram_frac"] == 0.0
+    assert t.loc[2, "n_words"] == 1 and t.loc[2, "dup_word_frac"] == 0.0
+    assert t.loc[3, "n_distinct_words"] == 1
+    assert t.loc[3, "dup_word_frac"] == 0.75
+    assert t.loc[3, "top_bigram_count"] == 3
+    assert t.loc[3, "top_bigram_frac"] == 1.0
+    # "a b" appears twice of 4 bigrams
+    assert t.loc[4, "top_bigram_count"] == 2
+    assert t.loc[4, "top_bigram_frac"] == 0.5
+
+
+def test_pii_scrub_patterns():
+    from greenocr_ray.functions.quality import pii_scrub
+
+    t = pii_scrub(
+        _docs_table(
+            [
+                (1, "mail a.b+c@ex-1.org now"),
+                (2, "call 555-123-4567 or visit 10.0.0.255 ok"),
+                # near-misses: short octet run, bad phone grouping
+                (3, "ver 1.2.3 and 12-345-6789 stay"),
+                (4, None),  # null text -> skip-and-continue
+            ]
+        )
+    ).to_pandas().set_index("doc_id")
+    assert t.loc[1, "text"] == "mail [EMAIL] now"
+    assert t.loc[1, "n_redactions"] == 1
+    assert t.loc[2, "text"] == "call [PHONE] or visit [IP] ok"
+    assert t.loc[2, "n_redactions"] == 2
+    assert t.loc[3, "text"] == "ver 1.2.3 and 12-345-6789 stay"
+    assert t.loc[3, "n_redactions"] == 0
+    assert t.loc[4, "text"] == "" and t.loc[4, "n_redactions"] == 0
+
+
+def test_contamination_planted(ray_session):
+    from greenocr_ray.functions.quality import contamination_check
+
+    bench_text = "the quick brown fox jumps over the lazy dog again and again"
+    clean_text = "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii hh"
+    # doc 200 embeds a 30-char run of the benchmark doc (doc_id 0 is
+    # benchmark: 0 % 97 == 0) -> 11 shared 20-grams, over threshold
+    dirty_text = "prefix " + bench_text[5:35] + " suffix padding words"
+    docs = rd.from_arrow(
+        _docs_table([(0, bench_text), (200, dirty_text), (300, clean_text)])
+    )
+    out = contamination_check(docs).to_pandas().set_index("doc_id")
+    assert 0 not in out.index  # benchmark rows are not scored
+    assert out.loc[200, "n_shared"] == 11
+    assert bool(out.loc[200, "contaminated"])
+    assert out.loc[300, "n_shared"] == 0
+    assert not bool(out.loc[300, "contaminated"])
+
+
+def _write(d, name, table):
+    rd.from_arrow(table).write_parquet(str(d / f"{name}.parquet"))
+
+
+def test_churned_customers_small(ray_session, tmp_path):
+    from greenocr_ray.functions import relational as R
+
+    d = tmp_path / "churn"
+    d.mkdir()
+    _write(
+        d,
+        "customer",
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], type=pa.int64()),
+                "c_nationkey": pa.array([0, 0, 1], type=pa.int64()),
+            }
+        ),
+    )
+    _write(
+        d,
+        "orders",
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 1, 2], type=pa.int64()),
+                "o_orderdate": pa.array(
+                    np.array(
+                        ["2001-03-01", "1999-01-01", "1999-06-01"],
+                        dtype="datetime64[us]",
+                    )
+                ),
+            }
+        ),
+    )
+    _write(
+        d,
+        "nation",
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1], type=pa.int64()),
+                "n_name": ["ALPHA", "BETA"],
+            }
+        ),
+    )
+    out = R.q_churned_customers(str(d))
+    # cust 1 has a recent order; cust 2 (ALPHA) and 3 (BETA) are churned
+    assert list(out["n_name"]) == ["ALPHA", "BETA"]
+    assert list(out["n_customers"]) == [1, 1]
+
+
+def test_rolling_avg_small(ray_session, tmp_path):
+    from greenocr_ray.functions import relational as R
+
+    d = tmp_path / "roll"
+    d.mkdir()
+    _write(
+        d,
+        "events",
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4, 5, 10], type=pa.int64()),
+                "ts": pa.array(
+                    np.array(
+                        ["2024-01-01T00:00:00"] * 0
+                        + [
+                            "2024-01-01T00:00:01",
+                            "2024-01-01T00:00:02",
+                            "2024-01-01T00:00:03",
+                            "2024-01-01T00:00:04",
+                            "2024-01-01T00:00:05",
+                            "2024-01-01T00:00:01",
+                        ],
+                        dtype="datetime64[us]",
+                    )
+                ),
+                "user_id": pa.array([7, 7, 7, 7, 7, 8], type=pa.int64()),
+                "value": [2.0, 4.0, 6.0, 8.0, 10.0, 5.0],
+            }
+        ),
+    )
+    out = R.q_rolling_avg(str(d), window=4)
+    got = dict(zip(out["event_id"], out["rolling_avg"]))
+    assert got[1] == 2.0 and got[2] == 3.0 and got[3] == 4.0
+    assert got[4] == 5.0  # full window (2+4+6+8)/4
+    assert got[5] == 7.0  # window slides off the first event
+    assert got[10] == 5.0  # separate user
+
+
+def test_conversion_funnel_cross_bucket(ray_session, tmp_path):
+    from greenocr_ray.functions import relational as R
+
+    d = tmp_path / "funnel"
+    d.mkdir()
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    W = np.timedelta64(6 * 3600, "s")
+    rows = [
+        # same-bucket pair, 30s lag -> a_u1m
+        (1, base + np.timedelta64(100, "s"), 7, "click"),
+        (2, base + np.timedelta64(130, "s"), 7, "purchase"),
+        # pair straddling the 6h bucket boundary, 2s lag -> a_u1m
+        (3, base + W - np.timedelta64(1, "s"), 7, "click"),
+        (4, base + W + np.timedelta64(1, "s"), 7, "purchase"),
+        # same timestamp: excluded (strict b.ts > a.ts)
+        (5, base + np.timedelta64(9000, "s"), 8, "click"),
+        (6, base + np.timedelta64(9000, "s"), 8, "purchase"),
+        # lag beyond the window: excluded
+        (7, base + np.timedelta64(50_000, "s"), 9, "click"),
+        (8, base + np.timedelta64(50_000, "s") + W + np.timedelta64(1, "s"), 9, "purchase"),
+        # 2h lag -> d_u6h (also checks purchase sees click from home copy)
+        (9, base + np.timedelta64(40 * 3600, "s"), 10, "click"),
+        (10, base + np.timedelta64(42 * 3600, "s"), 10, "purchase"),
+        # other event types are ignored
+        (11, base + np.timedelta64(101, "s"), 7, "view"),
+    ]
+    _write(
+        d,
+        "events",
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ts": pa.array(np.array([r[1] for r in rows], dtype="datetime64[us]")),
+                "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+                "event_type": [r[3] for r in rows],
+            }
+        ),
+    )
+    out = R.q_conversion_funnel(str(d))
+    got = dict(zip(out["lag_bin"], out["n_pairs"]))
+    # d_u6h = the 2h pair PLUS the cross pair click@100s -> purchase
+    # @6h+1s (lag 21501s, inside the window) — every qualifying
+    # click precedes every qualifying purchase of the same user
+    assert got == {"a_u1m": 2, "d_u6h": 2}
+
+
+def test_conversion_funnel_no_double_count(ray_session, tmp_path):
+    """A click's k and k+1 copies must yield exactly ONE counted pair
+    per purchase, and multiple clicks before one purchase each pair."""
+    from greenocr_ray.functions import relational as R
+
+    d = tmp_path / "funnel2"
+    d.mkdir()
+    base = np.datetime64("2024-01-01T01:00:00", "us")
+    rows = [
+        (1, base, 5, "click"),
+        (2, base + np.timedelta64(60, "s"), 5, "click"),
+        (3, base + np.timedelta64(90, "s"), 5, "purchase"),
+    ]
+    _write(
+        d,
+        "events",
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ts": pa.array(np.array([r[1] for r in rows], dtype="datetime64[us]")),
+                "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+                "event_type": [r[3] for r in rows],
+            }
+        ),
+    )
+    out = R.q_conversion_funnel(str(d))
+    assert int(out["n_pairs"].sum()) == 2  # both clicks pair, once each
