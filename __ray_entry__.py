@@ -715,6 +715,15 @@ def _q_contamination(sf_dir: str) -> Any:
     )
 
 
+def _q_unigram_logprob(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import unigram_logprob
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return unigram_logprob(ds)
+
+
 def _q_props_stats(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -801,6 +810,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "churned_customers": R.q_churned_customers,
         "rolling_avg": R.q_rolling_avg,
         "conversion_funnel": R.q_conversion_funnel,
+        "event_outliers": R.q_event_outliers,
+        "daily_active_users": R.q_daily_active_users,
         # corpus management
         "train_test_split": _q_train_test_split,
         "source_stats": _q_source_stats,
@@ -818,6 +829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "pii_scrub": _q_pii_scrub,
         "contamination_check": _q_contamination,
+        "unigram_logprob": _q_unigram_logprob,
         # text analysis
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
@@ -1434,6 +1446,36 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                        '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b'))
                        AS n_redactions
             FROM '{_pii_corpus(sf_dir)}' ORDER BY doc_id
+        """,
+        "event_outliers": """
+            WITH stats AS (
+              SELECT event_type, AVG(value) AS mu, STDDEV_POP(value) AS sd
+              FROM events GROUP BY event_type
+            )
+            SELECT event_id, e.event_type, ROUND(value, 6) AS value,
+                   ROUND((value - mu) / sd, 4) AS z
+            FROM events e JOIN stats USING (event_type)
+            WHERE sd > 0 AND ABS((value - mu) / sd) > 3
+            ORDER BY event_id
+        """,
+        "daily_active_users": """
+            SELECT event_type,
+                   CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "unigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\\w+')) AS term
+              FROM documents
+            ),
+            freq AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+            tot AS (SELECT sum(c)::DOUBLE AS n FROM freq)
+            SELECT doc_id, count(*) AS n_tokens,
+                   ROUND(AVG(ln(c / (SELECT n FROM tot))), 6) AS avg_logprob
+            FROM toks JOIN freq USING (term)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "contamination_check": """
             WITH bsh AS (

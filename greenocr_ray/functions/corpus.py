@@ -248,6 +248,78 @@ def tfidf_top_terms(docs: rd.Dataset, k: int = 3) -> pd.DataFrame:
 # ------------------------------------------------------ stratified sample
 
 
+def unigram_logprob(docs: rd.Dataset) -> pd.DataFrame:
+    """Per-doc mean unigram log-probability under the corpus's own
+    unigram LM — the classic perplexity-style quality score (low mean
+    logprob = rare-token-heavy / junk text).
+
+    Two passes, mirroring tfidf_top_terms' shape: (1) global term
+    counts via per-batch Counter partials (vocab-bounded; adaptive
+    driver fold / hash shuffle), log-probs broadcast once via
+    ``ray.put``; (2) a streaming per-doc scoring pass. OOV cannot
+    occur (the LM is fit on the same corpus). Zero-token docs emit no
+    row, matching the oracle's inner join.
+    -> (doc_id, n_tokens, avg_logprob) rows."""
+    import ray
+
+    from collections import Counter
+
+    def tokenize(s: str) -> list[str]:
+        return _TOKEN_RE.findall(s.lower())
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t.column("text").to_pylist():
+            c.update(tokenize(s))
+        return pa.table(
+            {
+                "term": pa.array(list(c.keys()), type=pa.string()),
+                "c": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(count_partial, batch_format="pyarrow").materialize()
+    if parts.count() <= 5_000_000:
+        counts = parts.to_pandas().groupby("term")["c"].sum()
+    else:  # vocab-scale shuffle path
+        from ray.data.aggregate import Sum
+
+        counts = (
+            parts.groupby("term")
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas()
+            .set_index("term")["c"]
+        )
+    total = float(counts.sum())
+    logp = {t: float(np.log(c / total)) for t, c in counts.items()}
+    logp_ref = ray.put(logp)
+
+    def score(t: pa.Table) -> pa.Table:
+        lp = ray.get(logp_ref)
+        out_d, out_n, out_s = [], [], []
+        for did, s in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            toks = tokenize(s)
+            if not toks:
+                continue
+            out_d.append(did)
+            out_n.append(len(toks))
+            out_s.append(float(np.mean([lp[w] for w in toks])))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "n_tokens": pa.array(out_n, type=pa.int64()),
+                "avg_logprob_raw": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    out = docs.map_batches(score, batch_format="pyarrow").to_pandas()
+    out["avg_logprob"] = round_half_away(out["avg_logprob_raw"], 6)
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return out[["doc_id", "n_tokens", "avg_logprob"]]
+
+
 def stratified_sample(
     docs: rd.Dataset, group_col: str = "lang", n_per_group: int = 5
 ) -> pd.DataFrame:

@@ -769,3 +769,91 @@ def q_conversion_funnel(sf_dir: str, window_hours: int = 6) -> pd.DataFrame:
     out = combine_small_agg(parts, ["lag_bin"], {"n_pairs": "sum"})
     out["n_pairs"] = out["n_pairs"].astype("int64")
     return out.sort_values("lag_bin").reset_index(drop=True)
+
+
+# ------------------------------------------- grouped z-score outliers
+
+
+def q_event_outliers(sf_dir: str, z_cut: float = 3.0) -> pd.DataFrame:
+    """Grouped anomaly detection: events whose value is more than
+    ``z_cut`` population standard deviations from their event_type's
+    mean. Two passes, no shuffle: (1) per-batch moment partials
+    (n, sum, sumsq) folded to per-type mean/std — mergeable-sketch
+    shape, O(#types) driver state; (2) a streaming filter with the
+    tiny stats dict captured in the closure. z is rounded to 4
+    decimals (the naive-moments variance agrees with the oracle's
+    stable accumulator well past that)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def moments(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        g = df.groupby("event_type", sort=False)["value"].agg(
+            n="size", s="sum", ss=lambda v: float((v**2).sum())
+        )
+        return g.reset_index()
+
+    stats = combine_small_agg(
+        ds.map_batches(moments, batch_format="pyarrow", batch_size=65536),
+        ["event_type"],
+        {"n": "sum", "s": "sum", "ss": "sum"},
+    )
+    stats["mu"] = stats["s"] / stats["n"]
+    stats["sd"] = np.sqrt(
+        np.maximum(stats["ss"] / stats["n"] - stats["mu"] ** 2, 0.0)
+    )
+    mu = dict(zip(stats["event_type"], stats["mu"]))
+    sd = dict(zip(stats["event_type"], stats["sd"]))
+
+    def flag(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        m = df["event_type"].map(mu)
+        s = df["event_type"].map(sd)
+        z = (df["value"] - m) / s
+        keep = (s > 0) & (z.abs() > z_cut)
+        out = df.loc[keep, ["event_id", "event_type"]].copy()
+        out["value"] = round_half_away(df.loc[keep, "value"], 6)
+        out["z"] = round_half_away(z[keep], 4)
+        return out
+
+    out = ds.map_batches(flag, batch_format="pyarrow").to_pandas()
+    if out.empty:  # all-empty blocks lose the schema in to_pandas
+        return pd.DataFrame(columns=["event_id", "event_type", "value", "z"])
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+# --------------------------------------- exact grouped distinct count
+
+
+def q_daily_active_users(sf_dir: str) -> pd.DataFrame:
+    """Distinct users per (event_type, day) — exact grouped COUNT
+    DISTINCT. Per-batch dedup of (type, day, user) triples shrinks
+    the exchange to distinct-triple cardinality; one hash groupby on
+    (type, day) then counts uniques inside each group. Skew bound:
+    a group holds one day's distinct users of one type."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id"])
+
+    def triples(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df["day"] = (
+            df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            // 86_400_000_000
+        )
+        return df[["event_type", "day", "user_id"]].drop_duplicates()
+
+    def count_users(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "day": np.array([g["day"].iloc[0]], dtype="int64"),
+                "n_users": np.array([g["user_id"].nunique()], dtype="int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(triples, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "day"], num_partitions=16)
+        .map_groups(count_users, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )

@@ -245,3 +245,86 @@ def test_conversion_funnel_no_double_count(ray_session, tmp_path):
     )
     out = R.q_conversion_funnel(str(d))
     assert int(out["n_pairs"].sum()) == 2  # both clicks pair, once each
+
+
+def test_event_outliers_planted(ray_session, tmp_path):
+    from greenocr_ray.functions import relational as R
+
+    d = tmp_path / "outl"
+    d.mkdir()
+    # 20 values at 10.0 +- 1 and one at 100 -> |z| >> 3 for the spike
+    vals = [9.0, 11.0] * 10 + [100.0]
+    _write(
+        d,
+        "events",
+        pa.table(
+            {
+                "event_id": pa.array(list(range(len(vals))), type=pa.int64()),
+                "event_type": ["click"] * len(vals),
+                "value": vals,
+            }
+        ),
+    )
+    out = R.q_event_outliers(str(d))
+    assert list(out["event_id"]) == [20]
+    assert out["z"].iloc[0] > 3
+
+
+def test_event_outliers_zero_std_excluded(ray_session, tmp_path):
+    from greenocr_ray.functions import relational as R
+
+    d = tmp_path / "outl0"
+    d.mkdir()
+    _write(
+        d,
+        "events",
+        pa.table(
+            {
+                "event_id": pa.array([1, 2], type=pa.int64()),
+                "event_type": ["view", "view"],
+                "value": [5.0, 5.0],
+            }
+        ),
+    )
+    assert len(R.q_event_outliers(str(d))) == 0
+
+
+def test_daily_active_users_dedups_within_day(ray_session, tmp_path):
+    from greenocr_ray.functions import relational as R
+
+    d = tmp_path / "dau"
+    d.mkdir()
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    day = np.timedelta64(24 * 3600, "s")
+    _write(
+        d,
+        "events",
+        pa.table(
+            {
+                "ts": pa.array(
+                    np.array(
+                        [base, base + np.timedelta64(1, "h"), base + day, base],
+                        dtype="datetime64[us]",
+                    )
+                ),
+                "event_type": ["click", "click", "click", "view"],
+                "user_id": pa.array([7, 7, 7, 7], type=pa.int64()),
+            }
+        ),
+    )
+    out = R.q_daily_active_users(str(d))
+    # user 7 twice on day 1 counts once; day 2 separately; view separately
+    assert list(out["n_users"]) == [1, 1, 1]
+    assert list(out["event_type"]) == ["click", "click", "view"]
+
+
+def test_unigram_logprob_hand_computed(ray_session):
+    from greenocr_ray.functions.corpus import unigram_logprob
+
+    docs = rd.from_arrow(_docs_table([(1, "a a b"), (2, "b"), (3, "")]))
+    out = unigram_logprob(docs).set_index("doc_id")
+    # corpus counts: a=2, b=2, total=4 -> logp = ln(0.5) for both
+    lp = float(np.round(np.log(0.5), 6))
+    assert out.loc[1, "n_tokens"] == 3 and out.loc[1, "avg_logprob"] == lp
+    assert out.loc[2, "n_tokens"] == 1 and out.loc[2, "avg_logprob"] == lp
+    assert 3 not in out.index  # zero-token doc emits no row
