@@ -715,6 +715,55 @@ def _q_contamination(sf_dir: str) -> Any:
     )
 
 
+def _q_kmeans(sf_dir: str) -> Any:
+    """Distributed k-means, machine-gated on its own invariants: the
+    Lloyd inertia sequence must be non-increasing, and the final
+    assignment pass's total SSE (computed by an independent code path)
+    must not exceed the last iteration's inertia. n_points
+    cross-checks that the assignment pass dropped no rows (the oracle
+    recomputes it as COUNT(*))."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from greenocr_ray.functions.similarity import kmeans_assign, kmeans_fit
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    centroids, inertia = kmeans_fit(ds, k=8, iters=8)
+    assigned = kmeans_assign(ds, centroids)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return pa.table(
+            {
+                "n": pa.array([len(t)], type=pa.int64()),
+                "s": pa.array(
+                    [float(np.sum(t.column("dist2").to_numpy()))],
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    folded = assigned.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n_points = int(folded["n"].sum())
+    sse = float(folded["s"].sum())
+    monotonic = all(
+        b <= a * (1 + 1e-9) for a, b in zip(inertia, inertia[1:])
+    )
+    consistent = sse <= inertia[-1] * (1 + 1e-9)
+    return pd.DataFrame(
+        {
+            "k": pd.array([8], dtype="int64"),
+            "n_points": pd.array([n_points], dtype="int64"),
+            "inertia_monotonic": [bool(monotonic)],
+            "sse_consistent": [bool(consistent)],
+        }
+    )
+
+
 def _q_unigram_logprob(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -845,6 +894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": _q_knn,
         "knn_cosine_lsh": _q_knn_lsh,
         "knn_cosine_ivf": _q_knn_ivf,
+        "kmeans_clusters": _q_kmeans,
         "near_dup_embeddings": _q_near_dup_embeddings,
         "near_dup_embeddings_blocked": _q_near_dup_embeddings_blocked,
         "near_dup_embeddings_lsh": _q_near_dup_embeddings_lsh,
@@ -1446,6 +1496,13 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                        '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b'))
                        AS n_redactions
             FROM '{_pii_corpus(sf_dir)}' ORDER BY doc_id
+        """,
+        "kmeans_clusters": """
+            SELECT CAST(8 AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS n_points,
+                   TRUE AS inertia_monotonic,
+                   TRUE AS sse_consistent
+            FROM embeddings
         """,
         "event_outliers": """
             WITH stats AS (

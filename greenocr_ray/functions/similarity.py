@@ -548,3 +548,115 @@ def knn_cosine_ivf(
 
     candidates = embeddings.map_batches(in_probed_lists, batch_format="pyarrow")
     return knn_cosine(candidates, query, k=k, exclude=exclude)
+
+
+# ------------------------------------------------ distributed k-means
+
+
+def kmeans_fit(
+    embeddings: rd.Dataset,
+    k: int = 8,
+    iters: int = 8,
+    seed: int = 11,
+    sample_size: int = 2048,
+) -> tuple[np.ndarray, list[float]]:
+    """Full-corpus distributed Lloyd's k-means.
+
+    Per iteration: centroids broadcast once via ``ray.put``; ONE
+    streaming ``map_batches`` pass emits per-batch partial
+    (cluster, vector-sum, count, sse) rows — k rows per batch, so the
+    driver fold is O(k x blocks) regardless of corpus size; new
+    centroids are the weighted partial means. No shuffle anywhere;
+    the assignment math is one matmul per batch
+    (||x||^2 - 2xC^T + ||c||^2, ties -> lowest cluster index, matching
+    np.argmin). Deterministic: seeded init from a bounded sample (the
+    IvfIndex pattern), fixed iteration count with early stop on
+    centroid convergence. An empty cluster keeps its previous
+    centroid. Returns (centroids, per-iteration inertia) — inertia is
+    non-increasing across Lloyd iterations, which callers can assert
+    as a machine-checkable invariant.
+    """
+    sample_rows = embeddings.limit(sample_size).to_pandas()
+    sample = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in sample_rows["embedding"]]
+    )
+    rng = np.random.Generator(np.random.PCG64(seed))
+    k = min(k, sample.shape[0])
+    centroids = sample[np.sort(rng.choice(sample.shape[0], size=k, replace=False))].copy()
+    dim = centroids.shape[1]
+    inertia_per_iter: list[float] = []
+
+    for _ in range(iters):
+        c_ref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            _, m = _batch_matrix(batch)
+            d2 = (
+                (m * m).sum(axis=1)[:, None]
+                - 2.0 * m @ c.T
+                + (c * c).sum(axis=1)[None, :]
+            )
+            assign = d2.argmin(axis=1)
+            sums = np.zeros((len(c), m.shape[1]))
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=len(c))
+            sse = np.zeros(len(c))
+            np.add.at(sse, assign, np.maximum(d2[np.arange(len(m)), assign], 0.0))
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(c)), type=pa.int64()),
+                    "vsum": pa.array(list(sums), type=pa.list_(pa.float64())),
+                    "n": pa.array(counts, type=pa.int64()),
+                    "sse": pa.array(sse, type=pa.float64()),
+                }
+            )
+
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k, dtype=np.int64)
+        sse_total = 0.0
+        for b in embeddings.map_batches(
+            partial, batch_format="pyarrow"
+        ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+            cl = b.column("cluster").to_numpy()
+            vs = np.stack(b.column("vsum").to_pylist())
+            np.add.at(sums, cl, vs)
+            np.add.at(counts, cl, b.column("n").to_numpy())
+            sse_total += float(b.column("sse").to_numpy().sum())
+        inertia_per_iter.append(sse_total)
+        new_c = centroids.copy()
+        nz = counts > 0
+        new_c[nz] = sums[nz] / counts[nz, None]
+        shift = float(np.abs(new_c - centroids).max())
+        centroids = new_c
+        if shift < 1e-12:
+            break
+    return centroids, inertia_per_iter
+
+
+def kmeans_assign(embeddings: rd.Dataset, centroids: np.ndarray) -> rd.Dataset:
+    """Streaming nearest-centroid assignment pass (broadcast
+    centroids, one matmul per batch) -> (vec_id, cluster, dist2)."""
+    c_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        ids, m = _batch_matrix(batch)
+        d2 = (
+            (m * m).sum(axis=1)[:, None]
+            - 2.0 * m @ c.T
+            + (c * c).sum(axis=1)[None, :]
+        )
+        a = d2.argmin(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "cluster": pa.array(a, type=pa.int64()),
+                "dist2": pa.array(
+                    np.maximum(d2[np.arange(len(ids)), a], 0.0),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return embeddings.map_batches(assign, batch_format="pyarrow")

@@ -328,3 +328,35 @@ def test_unigram_logprob_hand_computed(ray_session):
     assert out.loc[1, "n_tokens"] == 3 and out.loc[1, "avg_logprob"] == lp
     assert out.loc[2, "n_tokens"] == 1 and out.loc[2, "avg_logprob"] == lp
     assert 3 not in out.index  # zero-token doc emits no row
+
+
+def test_kmeans_recovers_planted_blobs(ray_session):
+    from greenocr_ray.functions.similarity import kmeans_assign, kmeans_fit
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    centers = np.array([[10.0, 0.0], [-10.0, 0.0], [0.0, 15.0]])
+    pts = np.concatenate(
+        [c + rng.normal(0, 0.5, size=(40, 2)) for c in centers]
+    )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(list(range(len(pts))), type=pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, p)) for p in pts],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    centroids, inertia = kmeans_fit(ds, k=3, iters=10)
+    # Lloyd inertia never increases
+    assert all(b <= a * (1 + 1e-9) for a, b in zip(inertia, inertia[1:]))
+    out = kmeans_assign(ds, centroids).to_pandas().sort_values("vec_id")
+    labels = out["cluster"].to_numpy()
+    # each planted blob maps to exactly one cluster, blobs to distinct ones
+    blob_labels = [set(labels[i * 40 : (i + 1) * 40]) for i in range(3)]
+    assert all(len(s) == 1 for s in blob_labels)
+    assert len(set().union(*blob_labels)) == 3
+    # tight blobs -> tiny within-cluster distances
+    assert float(out["dist2"].max()) < 4.0
