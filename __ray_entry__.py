@@ -715,6 +715,18 @@ def _q_contamination(sf_dir: str) -> Any:
     )
 
 
+def _q_near_dup_groups(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.dedup import (
+        connected_dedup_groups,
+        ngram_jaccard_pairs,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return connected_dedup_groups(ngram_jaccard_pairs(ds, threshold=0.5))
+
+
 def _q_kmeans(sf_dir: str) -> Any:
     """Distributed k-means, machine-gated on its own invariants: the
     Lloyd inertia sequence must be non-increasing, and the final
@@ -861,6 +873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_funnel": R.q_conversion_funnel,
         "event_outliers": R.q_event_outliers,
         "daily_active_users": R.q_daily_active_users,
+        "nation_top_customers": R.q_nation_top_customers,
         # corpus management
         "train_test_split": _q_train_test_split,
         "source_stats": _q_source_stats,
@@ -890,6 +903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
+        "near_dup_groups": _q_near_dup_groups,
         # similarity search
         "knn_cosine": _q_knn,
         "knn_cosine_lsh": _q_knn_lsh,
@@ -1496,6 +1510,53 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                        '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b'))
                        AS n_redactions
             FROM '{_pii_corpus(sf_dir)}' ORDER BY doc_id
+        """,
+        "near_dup_groups": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[0-9a-z_]+') AS tk
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, tk,
+                     unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i
+              FROM toks
+            ), sh AS (
+              SELECT doc_id,
+                     list(DISTINCT tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                         AS grams
+              FROM idx GROUP BY doc_id
+            ), pr AS (
+              SELECT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                           / len(list_distinct(list_concat(a.grams, b.grams)))
+                           AS jaccard_sim
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              ) WHERE ROUND(jaccard_sim, 6) >= 0.5
+            ), edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM pr
+              UNION SELECT doc_b, doc_a FROM pr
+            ), reach AS (
+              SELECT a AS node, a AS r FROM edges
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+            )
+            SELECT node AS doc_id, min(r) AS group_id
+            FROM reach GROUP BY node ORDER BY doc_id
+        """,
+        "nation_top_customers": """
+            WITH ranked AS (
+              SELECT n_name, c_name, c_acctbal,
+                     row_number() OVER (
+                         PARTITION BY c_nationkey
+                         ORDER BY c_acctbal DESC, c_name) AS rn
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+            )
+            SELECT n_name,
+                   string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_name)
+                       AS top_customers
+            FROM ranked WHERE rn <= 3
+            GROUP BY n_name ORDER BY n_name
         """,
         "kmeans_clusters": """
             SELECT CAST(8 AS BIGINT) AS k,

@@ -744,3 +744,144 @@ def ngram_jaccard_pairs(
     return _verify_and_threshold(
         docs, cand_ds, threshold, k=k, force_distributed=force_distributed
     )
+
+
+# ----------------------------------- transitive dedup groups (CC)
+
+
+def _cc_driver(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Union-find over a small pair frame (path-compressed)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(set(pairs["doc_a"]) | set(pairs["doc_b"]))
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array(nodes, dtype="int64"),
+            "group_id": pd.array([find(n) for n in nodes], dtype="int64"),
+        }
+    )
+
+
+def _cc_state_checksum(state: rd.Dataset) -> tuple[int, int]:
+    """(row_count, order-independent hash) fold for convergence
+    detection — O(#blocks) driver rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t.column("node").to_numpy().astype(np.uint64)
+        m = t.column("member").to_numpy().astype(np.uint64)
+        h = (n * np.uint64(0x9E3779B97F4A7C15)) ^ (m * np.uint64(1000003))
+        return pa.table(
+            {
+                "n": pa.array([len(t)], type=pa.int64()),
+                "h": pa.array([int(np.bitwise_xor.reduce(h)) if len(h) else 0],
+                              type=pa.uint64()),
+            }
+        )
+
+    df = state.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return int(df["n"].sum()), int(np.bitwise_xor.reduce(df["h"].to_numpy().astype(np.uint64))) if len(df) else 0
+
+
+def _cc_distributed(
+    edges: rd.Dataset, nbuckets: int = 32, max_iters: int = 16
+) -> pd.DataFrame:
+    """Hash-to-Min connected components (Rastogi et al. 2013): state is
+    flat (node, member) rows meaning member ∈ C(node); each round a
+    single hash groupby on node computes m = min C(v) and re-emits
+    (m, u) and (u, m) for u ∈ C(v). Converges in O(log diameter)
+    rounds to C(min) = the full component and C(u≠min) = {min}. No
+    joins — the only exchange per round is the groupby — and each
+    round materializes (bounded state, two HashShuffleOperators in one
+    plan deadlock small clusters)."""
+
+    def seed(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy().astype(np.int64)
+        b = t.column("doc_b").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b, a, b]), type=pa.int64()),
+                "member": pa.array(np.concatenate([b, a, a, b]), type=pa.int64()),
+            }
+        )
+
+    def spread(g: pd.DataFrame) -> pa.Table:
+        # v ∈ C(v) must hold, or a node whose set collapses to {min}
+        # stops re-emitting its own row and vanishes from the labels
+        members = np.unique(
+            np.append(g["member"].to_numpy(), int(g["node"].iloc[0]))
+        )
+        m = int(members.min())
+        out_node = np.concatenate([np.full(len(members), m), members])
+        out_member = np.concatenate([members, np.full(len(members), m)])
+        return pa.table(
+            {
+                "node": pa.array(out_node, type=pa.int64()),
+                "member": pa.array(out_member, type=pa.int64()),
+            }
+        )
+
+    state = edges.map_batches(seed, batch_format="pyarrow").materialize()
+    prev = None
+    for _ in range(max_iters):
+        state = (
+            state.groupby("node", num_partitions=nbuckets)
+            .map_groups(spread, batch_format="pandas")
+            .materialize()
+        )
+        cur = _cc_state_checksum(state)
+        if cur == prev:
+            break
+        prev = cur
+
+    def label_partial(g: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array([int(g["node"].iloc[0])], type=pa.int64()),
+                "group_id": pa.array([int(g["member"].min())], type=pa.int64()),
+            }
+        )
+
+    out = (
+        state.groupby("node", num_partitions=nbuckets)
+        .map_groups(label_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def connected_dedup_groups(
+    pairs: pd.DataFrame | rd.Dataset, force_distributed: bool = False
+) -> pd.DataFrame:
+    """Transitive closure of near-dup pairs into dedup groups:
+    (doc_id, group_id = smallest doc_id in the component) for every
+    doc that appears in at least one pair. The step dedup pipelines
+    need between pairwise detection and keep-one-per-group filtering.
+
+    Adaptive like pair_jaccards: union-find on the driver below
+    _PAIR_DRIVER_LIMIT edges, Hash-to-Min label propagation
+    (groupby-only, O(log diameter) rounds) above it.
+    """
+    if isinstance(pairs, rd.Dataset):
+        n = pairs.count()
+        if n == 0:
+            return pd.DataFrame(columns=["doc_id", "group_id"])
+        if n <= _PAIR_DRIVER_LIMIT and not force_distributed:
+            return _cc_driver(pairs.select_columns(["doc_a", "doc_b"]).to_pandas())
+        return _cc_distributed(pairs)
+    if len(pairs) == 0:
+        return pd.DataFrame(columns=["doc_id", "group_id"])
+    if len(pairs) <= _PAIR_DRIVER_LIMIT and not force_distributed:
+        return _cc_driver(pairs)
+    return _cc_distributed(rd.from_pandas(pairs[["doc_a", "doc_b"]]))

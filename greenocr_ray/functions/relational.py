@@ -821,6 +821,52 @@ def q_event_outliers(sf_dir: str, z_cut: float = 3.0) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+# ------------------------------------------ ordered string aggregation
+
+
+def q_nation_top_customers(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Ordered list aggregation (SQL string_agg with ORDER BY): per
+    nation, the top-k customer names by account balance, comma-joined
+    in rank order. Same partial-top-k shape as
+    q_top_orders_per_segment: per-batch per-nation top-k (vectorized
+    sort + head), driver merge of k x nations x blocks rows, broadcast
+    nation-name map; ties break on c_name for determinism."""
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    names = dict(
+        zip(nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist())
+    )
+    cust = _read(sf_dir, "customer", ["c_name", "c_nationkey", "c_acctbal"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df = df.sort_values(
+            ["c_nationkey", "c_acctbal", "c_name"],
+            ascending=[True, False, True],
+        )
+        return df.groupby("c_nationkey", sort=False).head(k)
+
+    allp = cust.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    allp = allp.sort_values(
+        ["c_nationkey", "c_acctbal", "c_name"], ascending=[True, False, True]
+    )
+    top = allp.groupby("c_nationkey", sort=True).head(k)
+    out = (
+        top.groupby("c_nationkey", sort=True)["c_name"]
+        .agg(",".join)
+        .rename("top_customers")
+        .reset_index()
+    )
+    out["n_name"] = out["c_nationkey"].map(names)
+    return out[["n_name", "top_customers"]].sort_values("n_name").reset_index(
+        drop=True
+    )
+
+
 # --------------------------------------- exact grouped distinct count
 
 

@@ -360,3 +360,63 @@ def test_kmeans_recovers_planted_blobs(ray_session):
     assert len(set().union(*blob_labels)) == 3
     # tight blobs -> tiny within-cluster distances
     assert float(out["dist2"].max()) < 4.0
+
+
+def test_connected_groups_driver_matches_distributed(ray_session):
+    from greenocr_ray.functions.dedup import (
+        _cc_distributed,
+        connected_dedup_groups,
+    )
+
+    # path 1-2-3-4, separate pair (10,11), triangle (20,21,22)
+    pairs = pd.DataFrame(
+        {
+            "doc_a": [1, 2, 3, 10, 20, 21, 20],
+            "doc_b": [2, 3, 4, 11, 21, 22, 22],
+        }
+    )
+    drv = connected_dedup_groups(pairs)
+    dist = _cc_distributed(rd.from_pandas(pairs))
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    assert dict(zip(drv["doc_id"], drv["group_id"])) == expect
+    assert dict(zip(dist["doc_id"], dist["group_id"])) == expect
+
+
+def test_connected_groups_empty_pairs(ray_session):
+    from greenocr_ray.functions.dedup import connected_dedup_groups
+
+    out = connected_dedup_groups(pd.DataFrame(columns=["doc_a", "doc_b"]))
+    assert len(out) == 0 and list(out.columns) == ["doc_id", "group_id"]
+
+
+def test_nation_top_customers_order_and_ties(ray_session, tmp_path):
+    from greenocr_ray.functions import relational as R
+
+    d = tmp_path / "stragg"
+    d.mkdir()
+    _write(
+        d,
+        "customer",
+        pa.table(
+            {
+                "c_name": ["ann", "bob", "cat", "dan", "eve"],
+                "c_nationkey": pa.array([0, 0, 0, 0, 1], type=pa.int64()),
+                # tie at 5.0 between bob and cat -> name ascending
+                "c_acctbal": [9.0, 5.0, 5.0, 1.0, 2.0],
+            }
+        ),
+    )
+    _write(
+        d,
+        "nation",
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1], type=pa.int64()),
+                "n_name": ["ALPHA", "BETA"],
+            }
+        ),
+    )
+    out = R.q_nation_top_customers(str(d), k=3)
+    assert list(out["n_name"]) == ["ALPHA", "BETA"]
+    assert out["top_customers"].iloc[0] == "ann,bob,cat"
+    assert out["top_customers"].iloc[1] == "eve"
