@@ -776,6 +776,15 @@ def _q_kmeans(sf_dir: str) -> Any:
     )
 
 
+def _q_top_tokens(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import top_tokens
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_tokens(ds, k=20)
+
+
 def _q_unigram_logprob(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -892,6 +901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "contamination_check": _q_contamination,
         "unigram_logprob": _q_unigram_logprob,
+        "top_tokens": _q_top_tokens,
         # text analysis
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
@@ -1581,6 +1591,12 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
                    COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "top_tokens": """
+            SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+              SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS token
+              FROM documents
+            ) GROUP BY token ORDER BY n DESC, token LIMIT 20
         """,
         "unigram_logprob": """
             WITH toks AS (

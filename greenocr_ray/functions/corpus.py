@@ -320,6 +320,77 @@ def unigram_logprob(docs: rd.Dataset) -> pd.DataFrame:
     return out[["doc_id", "n_tokens", "avg_logprob"]]
 
 
+def top_tokens(docs: rd.Dataset, k: int = 20, capacity: int = 512) -> pd.DataFrame:
+    """EXACT corpus-wide top-k tokens with bounded memory — the
+    two-phase heavy-hitters pattern: (1) a per-batch Misra-Gries
+    summary (``capacity`` counters) whose driver-merged candidate set
+    is a guaranteed superset of every token with frequency > N/capacity
+    (so of the true top-k whenever the k-th token clears that bar);
+    (2) the candidate set broadcasts and a second streaming pass counts
+    ONLY candidates exactly. Neither pass shuffles; driver state is
+    O(capacity x blocks) then O(|candidates|). Ties: count desc, token
+    asc. -> (token, n) rows, oracle-exact."""
+    import ray
+
+    from collections import Counter
+
+    def tokenize(s: str) -> list[str]:
+        return _TOKEN_RE.findall(s.lower())
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for s in t.column("text").to_pylist():
+            counts.update(tokenize(s))
+        # Misra-Gries decrement-compress to `capacity` counters: the
+        # kept (token, residual) rows under-count by at most the total
+        # decremented mass, preserving the superset guarantee on merge
+        if len(counts) > capacity:
+            kth = sorted(counts.values(), reverse=True)[capacity - 1]
+            counts = Counter(
+                {w: c - kth for w, c in counts.items() if c > kth}
+            )
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), type=pa.string()),
+                "c": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    merged: Counter = Counter()
+    for b in docs.map_batches(mg_partial, batch_format="pyarrow").iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        merged.update(dict(zip(b.column("token").to_pylist(),
+                               b.column("c").to_pylist())))
+        if len(merged) > capacity:  # merge-side compress, same rule
+            kth = sorted(merged.values(), reverse=True)[capacity - 1]
+            merged = Counter({w: c - kth for w, c in merged.items() if c > kth})
+    cand = frozenset(merged)
+    cand_ref = ray.put(cand)
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        keep = ray.get(cand_ref)
+        counts: Counter = Counter()
+        for s in t.column("text").to_pylist():
+            counts.update(w for w in tokenize(s) if w in keep)
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), type=pa.string()),
+                "c": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    exact = combine_small_agg(
+        docs.map_batches(exact_partial, batch_format="pyarrow"),
+        ["token"],
+        {"c": "sum"},
+    )
+    exact = exact.sort_values(["c", "token"], ascending=[False, True]).head(k)
+    exact = exact.rename(columns={"c": "n"}).reset_index(drop=True)
+    exact["n"] = exact["n"].astype("int64")
+    return exact[["token", "n"]]
+
+
 def stratified_sample(
     docs: rd.Dataset, group_col: str = "lang", n_per_group: int = 5
 ) -> pd.DataFrame:

@@ -420,3 +420,16 @@ def test_nation_top_customers_order_and_ties(ray_session, tmp_path):
     assert list(out["n_name"]) == ["ALPHA", "BETA"]
     assert out["top_customers"].iloc[0] == "ann,bob,cat"
     assert out["top_customers"].iloc[1] == "eve"
+
+
+def test_top_tokens_exact_under_tight_capacity(ray_session):
+    from greenocr_ray.functions.corpus import top_tokens
+
+    # 3 heavy tokens + 200 singletons; capacity far below vocab size
+    # exercises the Misra-Gries compress on both batch and merge sides
+    heavy = " ".join(["aaa"] * 50 + ["bbb"] * 30 + ["ccc"] * 20)
+    rare = " ".join(f"tok{i:03d}" for i in range(200))
+    docs = rd.from_arrow(_docs_table([(1, heavy), (2, rare), (3, heavy)]))
+    out = top_tokens(docs, k=3, capacity=16)
+    assert list(out["token"]) == ["aaa", "bbb", "ccc"]
+    assert list(out["n"]) == [100, 60, 40]
