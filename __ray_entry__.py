@@ -776,6 +776,17 @@ def _q_kmeans(sf_dir: str) -> Any:
     )
 
 
+def _q_approx_quantiles(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import approx_grouped_quantiles
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return approx_grouped_quantiles(ds)
+
+
 def _q_top_tokens(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -888,6 +899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_stats": _q_source_stats,
         "keyword_search": _q_keyword_search,
         "event_quantiles": _q_event_quantiles,
+        "approx_event_quantiles": _q_approx_quantiles,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1591,6 +1603,11 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
                    COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "approx_event_quantiles": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   TRUE AS within_bound
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "top_tokens": """
             SELECT token, CAST(count(*) AS BIGINT) AS n FROM (

@@ -165,6 +165,104 @@ def grouped_quantiles(events: rd.Dataset, key: str = "event_type") -> pd.DataFra
     return out.sort_values(key).reset_index(drop=True)
 
 
+def approx_grouped_quantiles(
+    events: rd.Dataset,
+    key: str = "event_type",
+    nbins: int = 4096,
+) -> pd.DataFrame:
+    """Shuffle-free per-group quantiles with a BOUNDED error — the
+    sketch path grouped_quantiles' docstring points to for unbounded
+    groups. Two streaming passes: (1) per-batch (group, min, max, n)
+    partials; (2) per-batch fixed-range histogram partials (``nbins``
+    bins per group), folded driver-side (O(groups x nbins)). A
+    quantile is the upper edge of the first bin whose cumulative count
+    reaches q·n — the bin holding the order statistic x_(ceil(q·n)) —
+    so |approx - x_(ceil(q·n))| <= bin width = range/nbins. The gate
+    asserts exactly that bound per group against exactly-computed
+    order statistics (NOT the interpolated quantile: adjacent order
+    stats may straddle empty bins, so interpolation has no width-
+    bounded guarantee) and returns machine-gated flags (within_bound),
+    since the approximation itself is not SQL-reproducible.
+    """
+    rng_parts = combine_small_agg(
+        events.map_batches(
+            lambda t: t.to_pandas()
+            .groupby(key, sort=False)["value"]
+            .agg(vmin="min", vmax="max", n="size")
+            .reset_index(),
+            batch_format="pyarrow",
+            batch_size=65536,
+        ),
+        [key],
+        {"vmin": "min", "vmax": "max", "n": "sum"},
+    )
+    lo = dict(zip(rng_parts[key], rng_parts["vmin"]))
+    hi = dict(zip(rng_parts[key], rng_parts["vmax"]))
+
+    def hist_partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        frames = []
+        for g, sub in df.groupby(key, sort=False):
+            a, b = lo[g], hi[g]
+            width = (b - a) or 1.0
+            bins = np.clip(
+                ((sub["value"].to_numpy() - a) / width * nbins).astype("int64"),
+                0,
+                nbins - 1,
+            )
+            cnt = np.bincount(bins, minlength=nbins)
+            nz = np.nonzero(cnt)[0]
+            frames.append(
+                pd.DataFrame({key: g, "bin": nz, "c": cnt[nz]})
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    hist = combine_small_agg(
+        events.map_batches(hist_partial, batch_format="pyarrow", batch_size=65536),
+        [key, "bin"],
+        {"c": "sum"},
+    )
+
+    def ostat(g: pd.DataFrame) -> pa.Table:
+        v = np.sort(g["value"].to_numpy(dtype=np.float64))
+        n = len(v)
+        ranks = [max(int(np.ceil(q * n)), 1) - 1 for q in _QS]
+        return pa.table(
+            {
+                key: pa.array([g[key].iloc[0]], type=pa.string()),
+                "x": pa.array([v[ranks].tolist()], type=pa.list_(pa.float64())),
+            }
+        )
+
+    stats = (
+        events.select_columns([key, "value"])
+        .groupby(key, num_partitions=8)
+        .map_groups(ostat, batch_format="pandas")
+        .to_pandas()
+        .set_index(key)
+    )
+    rows = []
+    for g, sub in hist.groupby(key, sort=True):
+        sub = sub.sort_values("bin")
+        cum = sub["c"].cumsum().to_numpy()
+        n = int(cum[-1])
+        a, b = lo[g], hi[g]
+        width = ((b - a) or 1.0) / nbins
+        row = {key: g, "n": n}
+        ok = True
+        for j, q in enumerate(_QS):
+            i = int(np.searchsorted(cum, q * n, side="left"))
+            approx = a + (sub["bin"].iloc[i] + 1) * width
+            ok = ok and abs(approx - float(stats.loc[g, "x"][j])) <= width * (
+                1 + 1e-9
+            )
+        row["within_bound"] = bool(ok)
+        rows.append(row)
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(key).reset_index(drop=True)
+
+
 # -------------------------------------------------------------- tf-idf
 
 

@@ -433,3 +433,23 @@ def test_top_tokens_exact_under_tight_capacity(ray_session):
     out = top_tokens(docs, k=3, capacity=16)
     assert list(out["token"]) == ["aaa", "bbb", "ccc"]
     assert list(out["n"]) == [100, 60, 40]
+
+
+def test_approx_quantiles_within_bound(ray_session, tmp_path):
+    from greenocr_ray.functions.corpus import approx_grouped_quantiles
+
+    d = tmp_path / "aq"
+    d.mkdir()
+    rng = np.random.Generator(np.random.PCG64(5))
+    vals = np.concatenate([rng.normal(50, 10, 500), rng.exponential(20, 500)])
+    types = ["norm"] * 500 + ["exp"] * 500
+    _write(
+        d,
+        "events",
+        pa.table({"event_type": types, "value": vals}),
+    )
+    ds = rd.read_parquet(str(d / "events.parquet"))
+    out = approx_grouped_quantiles(ds)
+    assert list(out["event_type"]) == ["exp", "norm"]
+    assert list(out["n"]) == [500, 500]
+    assert out["within_bound"].all()
