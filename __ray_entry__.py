@@ -787,6 +787,17 @@ def _q_approx_quantiles(sf_dir: str) -> Any:
     return approx_grouped_quantiles(ds)
 
 
+def _q_dup_ngram_stats(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import dup_ngram_stats
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dup_ngram_stats(ds)
+
+
 def _q_top_tokens(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -900,6 +911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search": _q_keyword_search,
         "event_quantiles": _q_event_quantiles,
         "approx_event_quantiles": _q_approx_quantiles,
+        "dup_ngram_stats": _q_dup_ngram_stats,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1608,6 +1620,33 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    TRUE AS within_bound
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "dup_ngram_stats": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+              FROM toks, LATERAL UNNEST(
+                generate_series(1, greatest(len(w)-4, 0))) AS t(i)
+            ),
+            gc AS (SELECT gram, count(*) AS total FROM grams GROUP BY gram),
+            per_doc AS (
+              SELECT g.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(count(*) FILTER (WHERE gc.total >= 2) AS BIGINT)
+                       AS n_dup_grams
+              FROM grams g JOIN gc USING (gram) GROUP BY g.doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+                   CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
+                        ELSE ROUND(p.n_dup_grams::DOUBLE / p.n_grams, 6)
+                   END AS dup_ratio
+            FROM toks t LEFT JOIN per_doc p USING (doc_id)
+            ORDER BY t.doc_id
         """,
         "top_tokens": """
             SELECT token, CAST(count(*) AS BIGINT) AS n FROM (

@@ -453,3 +453,29 @@ def test_approx_quantiles_within_bound(ray_session, tmp_path):
     assert list(out["event_type"]) == ["exp", "norm"]
     assert list(out["n"]) == [500, 500]
     assert out["within_bound"].all()
+
+
+def test_dup_ngram_stats_planted(ray_session):
+    from greenocr_ray.functions.corpus import dup_ngram_stats
+
+    shared = "one two three four five"  # exactly one 5-gram, in docs 1+2
+    docs = rd.from_arrow(
+        _docs_table(
+            [
+                (1, f"{shared} unique tail alpha beta gamma"),
+                (2, f"prefix words here {shared}"),
+                (3, "too short"),  # < 5 tokens -> 0 grams, ratio 0.0
+                (4, f"{shared} and {shared}"),  # within-doc repeat counts
+                (5, "wholly distinct text with no repeats at all"),
+            ]
+        )
+    )
+    out = dup_ngram_stats(docs, n=5).to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[3, "n_grams"] == 0 and out.loc[3, "dup_ratio"] == 0.0
+    assert out.loc[1, "n_grams"] == 6 and out.loc[1, "n_dup_grams"] == 1
+    assert out.loc[2, "n_grams"] == 4 and out.loc[2, "n_dup_grams"] == 1
+    # doc 4: 11 tokens -> 7 gram positions; the two literal `shared`
+    # occurrences are dup (cross-doc AND within-doc); bridging grams
+    # ("four five and ...") are unique to doc 4
+    assert out.loc[4, "n_grams"] == 7 and out.loc[4, "n_dup_grams"] == 2
+    assert out.loc[5, "n_dup_grams"] == 0
