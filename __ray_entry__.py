@@ -787,6 +787,17 @@ def _q_approx_quantiles(sf_dir: str) -> Any:
     return approx_grouped_quantiles(ds)
 
 
+def _q_weighted_sample(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import weighted_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return weighted_sample(ds, k=50)
+
+
 def _q_dup_ngram_stats(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -912,6 +923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_quantiles": _q_event_quantiles,
         "approx_event_quantiles": _q_approx_quantiles,
         "dup_ngram_stats": _q_dup_ngram_stats,
+        "weighted_sample": _q_weighted_sample,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1620,6 +1632,17 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    TRUE AS within_bound
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "weighted_sample": """
+            WITH keyed AS (
+              SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+                     -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                               AS UBIGINT) + 0.5)
+                         / 1152921504606846976.0) / n_chars AS key_raw
+              FROM documents
+            )
+            SELECT doc_id, weight, ROUND(key_raw, 6) AS key
+            FROM keyed ORDER BY key_raw, doc_id LIMIT 50
         """,
         "dup_ngram_stats": r"""
             WITH toks AS (

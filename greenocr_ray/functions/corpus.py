@@ -263,6 +263,58 @@ def approx_grouped_quantiles(
     return out.sort_values(key).reset_index(drop=True)
 
 
+# ------------------------------------------------ weighted sampling
+
+
+def weighted_sample(
+    docs: rd.Dataset, k: int = 50, weight_col: str = "n_chars"
+) -> pd.DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each doc gets key = -ln(u)/w with u a
+    uniform derived from md5(str(doc_id)) — the k smallest keys are an
+    exact weighted sample, so data mixing ("sample 10M docs with
+    probability ∝ quality weight") is reproducible run-to-run and
+    SQL-checkable. Shuffle-free: per-batch partial top-k (the
+    knn_cosine pattern), driver merges k·blocks rows. u uses 60 md5
+    bits (exact in float64); +0.5 keeps u strictly positive.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        u = np.array(
+            [
+                int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16)
+                for d in ids
+            ],
+            dtype=np.float64,
+        )
+        key = -np.log((u + 0.5) / float(1 << 60)) / w
+        out = pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "weight": pa.array(w, type=pa.float64()),
+                "key_raw": pa.array(key, type=pa.float64()),
+            }
+        )
+        if out.num_rows > k:
+            idx = pc.sort_indices(
+                out, sort_keys=[("key_raw", "ascending"), ("doc_id", "ascending")]
+            )
+            out = out.take(idx.slice(0, k))
+        return out
+
+    cand = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # sort by the UNROUNDED key (rounding can reorder near-ties vs SQL)
+    out = (
+        cand.sort_values(["key_raw", "doc_id"]).head(k).reset_index(drop=True)
+    )
+    out["key"] = round_half_away(out["key_raw"], 6)
+    return out[["doc_id", "weight", "key"]]
+
+
 # ------------------------------------------------- duplicate n-grams
 
 

@@ -479,3 +479,32 @@ def test_dup_ngram_stats_planted(ray_session):
     # ("four five and ...") are unique to doc 4
     assert out.loc[4, "n_grams"] == 7 and out.loc[4, "n_dup_grams"] == 2
     assert out.loc[5, "n_dup_grams"] == 0
+
+
+def test_weighted_sample_favors_heavy_and_is_exact(ray_session):
+    import hashlib
+
+    from greenocr_ray.functions.corpus import weighted_sample
+
+    n = 2000
+    w = np.where(np.arange(n) < 100, 5000, 1).astype("int64")
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), type=pa.int64()),
+            "n_chars": pa.array(w, type=pa.int64()),
+        }
+    )
+    out = weighted_sample(rd.from_arrow(t), k=200)
+    # heavy docs (5000x weight) should essentially all be selected
+    assert (out["doc_id"] < 100).sum() >= 95
+    # per-batch partial top-k truncation must equal the brute ranking
+    u = np.array(
+        [
+            int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16)
+            for d in range(n)
+        ],
+        dtype=np.float64,
+    )
+    key = -np.log((u + 0.5) / float(1 << 60)) / w
+    expect = np.argsort(key, kind="stable")[:200]
+    assert set(out["doc_id"]) == set(expect.tolist())
