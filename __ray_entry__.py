@@ -787,6 +787,18 @@ def _q_approx_quantiles(sf_dir: str) -> Any:
     return approx_grouped_quantiles(ds)
 
 
+def _q_grouped_top_k(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import grouped_top_k
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+    return grouped_top_k(ds, k=3)
+
+
 def _q_weighted_sample(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -924,6 +936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_event_quantiles": _q_approx_quantiles,
         "dup_ngram_stats": _q_dup_ngram_stats,
         "weighted_sample": _q_weighted_sample,
+        "grouped_top_k": _q_grouped_top_k,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1632,6 +1645,15 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    TRUE AS within_bound
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "grouped_top_k": """
+            SELECT source, doc_id, n_chars, rank FROM (
+              SELECT source, doc_id, n_chars,
+                     CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+              FROM documents)
+            WHERE rank <= 3 ORDER BY source, rank
         """,
         "weighted_sample": """
             WITH keyed AS (

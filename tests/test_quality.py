@@ -508,3 +508,30 @@ def test_weighted_sample_favors_heavy_and_is_exact(ray_session):
     key = -np.log((u + 0.5) / float(1 << 60)) / w
     expect = np.argsort(key, kind="stable")[:200]
     assert set(out["doc_id"]) == set(expect.tolist())
+
+
+def test_grouped_top_k_across_blocks(ray_session):
+    from greenocr_ray.functions.corpus import grouped_top_k
+
+    # two blocks; group "a" global top-3 spans both blocks
+    t1 = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "source": ["a", "a", "b", "b"],
+            "n_chars": pa.array([10, 50, 7, 7], type=pa.int64()),
+        }
+    )
+    t2 = pa.table(
+        {
+            "doc_id": pa.array([5, 6, 7], type=pa.int64()),
+            "source": ["a", "a", "b"],
+            "n_chars": pa.array([40, 30, 9], type=pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t1).union(rd.from_arrow(t2))
+    out = grouped_top_k(ds, k=3)
+    a = out[out["source"] == "a"]
+    assert list(a["doc_id"]) == [2, 5, 6] and list(a["rank"]) == [1, 2, 3]
+    b = out[out["source"] == "b"]
+    # tie at 7 chars breaks on doc_id ascending
+    assert list(b["doc_id"]) == [7, 3, 4]
