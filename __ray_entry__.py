@@ -787,6 +787,18 @@ def _q_approx_quantiles(sf_dir: str) -> Any:
     return approx_grouped_quantiles(ds)
 
 
+def _q_adaptive_length_filter(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import adaptive_length_filter
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+    return adaptive_length_filter(ds)
+
+
 def _q_pack_sequences(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -949,6 +961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "grouped_top_k": _q_grouped_top_k,
         "pack_sequences": _q_pack_sequences,
+        "adaptive_length_filter": _q_adaptive_length_filter,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1657,6 +1670,19 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    TRUE AS within_bound
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "adaptive_length_filter": """
+            WITH b AS (
+              SELECT source,
+                     percentile_cont(0.05) WITHIN GROUP (ORDER BY n_chars)
+                       AS lo,
+                     percentile_cont(0.95) WITHIN GROUP (ORDER BY n_chars)
+                       AS hi
+              FROM documents GROUP BY source)
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN b USING (source)
+            WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+            ORDER BY d.doc_id
         """,
         "pack_sequences": r"""
             SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -263,6 +263,55 @@ def approx_grouped_quantiles(
     return out.sort_values(key).reset_index(drop=True)
 
 
+# ------------------------------------------- adaptive length filter
+
+
+def adaptive_length_filter(
+    docs: rd.Dataset,
+    key: str = "source",
+    val: str = "n_chars",
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> rd.Dataset:
+    """Quality filter with per-group ADAPTIVE thresholds (RefinedWeb-
+    style): keep docs whose ``val`` lies within [p5, p95] of their own
+    group's distribution, so a code-heavy source and a chat-heavy
+    source each get appropriate cutoffs instead of one global number.
+    Two passes: one bounded-key groupby computes the interpolated
+    quantile bounds (== DuckDB percentile_cont), the tiny bounds map
+    broadcasts in a closure, and a vectorized filter streams. Nothing
+    data-sized leaves the workers.
+    """
+
+    def bounds(g: pd.DataFrame) -> pa.Table:
+        v = g[val].to_numpy(dtype=np.float64)
+        lo, hi = np.percentile(v, [lo_q * 100, hi_q * 100])
+        return pa.table(
+            {
+                key: pa.array([g[key].iloc[0]], type=pa.string()),
+                "lo": pa.array([lo]),
+                "hi": pa.array([hi]),
+            }
+        )
+
+    bdf = (
+        docs.select_columns([key, val])
+        .groupby(key, num_partitions=8)
+        .map_groups(bounds, batch_format="pandas")
+        .to_pandas()
+    )
+    lo_map = dict(zip(bdf[key], bdf["lo"]))
+    hi_map = dict(zip(bdf[key], bdf["hi"]))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[val].to_numpy(dtype=np.float64)
+        lo = df[key].map(lo_map).to_numpy(dtype=np.float64)
+        hi = df[key].map(hi_map).to_numpy(dtype=np.float64)
+        return df[(v >= lo) & (v <= hi)]
+
+    return docs.map_batches(keep, batch_format="pandas", batch_size=65536)
+
+
 # ------------------------------------------------ sequence packing
 
 

@@ -555,3 +555,31 @@ def test_pack_sequences_invariants(ray_session):
     assert bool(out.loc[0, "cap_ok"])
     assert bool(out.loc[0, "conserved"])
     assert bool(out.loc[0, "packs_near_optimal"])
+
+
+def test_adaptive_length_filter_per_group_bounds(ray_session):
+    from greenocr_ray.functions.corpus import adaptive_length_filter
+
+    # group "long" has 10x the lengths of group "short": a global
+    # threshold would nuke one group; adaptive bounds keep both middles
+    short = [(i, "s", c) for i, c in enumerate(range(10, 31))]
+    long_ = [(100 + i, "l", c * 10) for i, c in enumerate(range(10, 31))]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in short + long_], type=pa.int64()),
+            "source": [r[1] for r in short + long_],
+            "n_chars": pa.array(
+                [r[2] for r in short + long_], type=pa.int64()
+            ),
+        }
+    )
+    out = (
+        adaptive_length_filter(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    kept_s = out[out["source"] == "s"]["n_chars"]
+    kept_l = out[out["source"] == "l"]["n_chars"]
+    assert len(kept_s) == 19 and len(kept_l) == 19  # p5/p95 trim one each
+    assert kept_s.min() == 11 and kept_s.max() == 29
+    assert kept_l.min() == 110 and kept_l.max() == 290
