@@ -210,6 +210,7 @@ def main() -> None:
         "quality_scores",
         "dedup_exact",
         "minhash_pairs",
+        "dup_ngram_stats",
         "simhash",
         "knn_cosine",
         "fingerprints",

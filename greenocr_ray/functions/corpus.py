@@ -499,17 +499,21 @@ def dup_ngram_stats(
     Makes Language Models Better"): for each doc, the fraction of its
     word ``n``-gram positions whose n-gram occurs >= 2 times
     corpus-wide (within-doc repeats included). Exact and end-to-end
-    distributed: per-batch partials emit (md5(gram), doc_id, count)
-    rows — md5's 128 bits make collisions negligible even at 1e13
-    grams, where a 64-bit hash would birthday-collide — one
-    token-cardinality hash groupby keeps only grams with total >= 2,
-    and one doc-cardinality groupby folds per-doc sums. Nothing of
-    corpus cardinality touches the driver. At 100 TB the gram exchange
-    is O(total tokens) rows of 36 bytes — the same shuffle volume
-    class as tf-idf's DF pass.
-    """
-    from collections import Counter
+    distributed: per-batch partials emit (gram_hash, doc_id, count)
+    rows, one gram-cardinality hash groupby keeps only grams with
+    total >= 2, and one doc-cardinality groupby folds per-doc sums.
+    Nothing of corpus cardinality touches the driver. At 100 TB the
+    gram exchange is O(total tokens) rows of 32 bytes — the same
+    shuffle volume class as tf-idf's DF pass.
 
+    Gram hashing is VECTORIZED (per-gram md5 + string join measured
+    ~10x slower at sf0.1): each unique token gets a 128-bit md5 once
+    (vocabulary-scale work), then two independent 64-bit polynomial
+    hashes over the token-hash sequence are computed with n shifted
+    numpy multiply-adds (mod 2^64, odd bases). 128 combined bits keep
+    birthday collisions negligible even at 1e13 grams (~1.5e-13),
+    where a single 64-bit hash would collide routinely.
+    """
     from ray.data.aggregate import Sum
 
     from ..rayutil import drop_empty_blocks
@@ -530,50 +534,91 @@ def dup_ngram_stats(
             }
         )
 
+    B1 = np.uint64(0x9E3779B97F4A7C15)
+    B2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    pair_dt = np.dtype([("a", "<u8"), ("b", "<u8")])
+
     def gram_partial(t: pa.Table) -> pa.Table:
-        ids, hashes, counts = [], [], []
+        tok_cache: dict[str, tuple[int, int]] = {}
+        ids, bufs, counts = [], [], []
         for doc_id, s in zip(
-            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+            t.column("doc_id").to_pylist(),
+            pc.utf8_lower(t.column("text")).to_pylist(),
         ):
-            w = _TOKEN_RE.findall(s.lower())
-            cnt = Counter(
-                " ".join(w[i : i + n]) for i in range(len(w) - n + 1)
-            )
-            for gram, c in cnt.items():
-                ids.append(doc_id)
-                hashes.append(hashlib.md5(gram.encode("utf-8")).digest())
-                counts.append(c)
+            w = _TOKEN_RE.findall(s)
+            m = len(w) - n + 1
+            if m <= 0:
+                continue
+            h1 = np.empty(len(w), np.uint64)
+            h2 = np.empty(len(w), np.uint64)
+            for i, tk in enumerate(w):
+                v = tok_cache.get(tk)
+                if v is None:
+                    d = hashlib.md5(tk.encode("utf-8")).digest()
+                    v = (
+                        int.from_bytes(d[:8], "little"),
+                        int.from_bytes(d[8:], "little"),
+                    )
+                    tok_cache[tk] = v
+                h1[i], h2[i] = v
+            g = np.zeros(m, dtype=pair_dt)
+            a, b = g["a"], g["b"]
+            for j in range(n):  # n shifted multiply-adds, wraps mod 2^64
+                np.multiply(a, B1, out=a)
+                np.add(a, h1[j : j + m], out=a)
+                np.multiply(b, B2, out=b)
+                np.add(b, h2[j : j + m], out=b)
+            uq, cnt = np.unique(g, return_counts=True)
+            ids.append(np.full(len(uq), doc_id, dtype=np.int64))
+            bufs.append(uq)
+            counts.append(cnt.astype(np.int64))
+        if ids:
+            uqs = np.concatenate(bufs)
+            h1o, h2o = uqs["a"], uqs["b"]
+            ido = np.concatenate(ids)
+            co = np.concatenate(counts)
+        else:
+            h1o = h2o = np.array([], np.uint64)
+            ido = co = np.array([], np.int64)
         return pa.table(
             {
-                "ghash": pa.array(hashes, type=pa.binary(16)),
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "c": pa.array(counts, type=pa.int64()),
+                "h1": pa.array(h1o, type=pa.uint64()),
+                "h2": pa.array(h2o, type=pa.uint64()),
+                # bucket on hash bits so the per-gram total can be
+                # computed VECTORIZED inside nbuckets group tasks —
+                # map_groups on the raw gram key would invoke the UDF
+                # once per gram (millions of tiny frames; measured the
+                # whole query at 11 s vs 3 s bucketed at sf0.1)
+                "bucket": pa.array(
+                    ((h1o ^ h2o) % np.uint64(nbuckets)).astype(np.int32),
+                    type=pa.int32(),
+                ),
+                "doc_id": pa.array(ido, type=pa.int64()),
+                "c": pa.array(co, type=pa.int64()),
             }
         )
 
-    def dup_emit(g: pd.DataFrame) -> pa.Table:
-        if int(g["c"].sum()) < 2:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "n_grams": pa.array([], type=pa.int64()),
-                    "n_dup_grams": pa.array([], type=pa.int64()),
-                }
-            )
+    def bucket_dup(g: pd.DataFrame) -> pa.Table:
+        tot = g.groupby(["h1", "h2"], sort=False)["c"].transform("sum")
+        sel = g.loc[tot.to_numpy() >= 2]
         return pa.table(
             {
-                "doc_id": pa.array(g["doc_id"], type=pa.int64()),
-                "n_grams": pa.array(
-                    np.zeros(len(g), dtype=np.int64), type=pa.int64()
+                "doc_id": pa.array(
+                    sel["doc_id"].to_numpy(dtype=np.int64), type=pa.int64()
                 ),
-                "n_dup_grams": pa.array(g["c"], type=pa.int64()),
+                "n_grams": pa.array(
+                    np.zeros(len(sel), dtype=np.int64), type=pa.int64()
+                ),
+                "n_dup_grams": pa.array(
+                    sel["c"].to_numpy(dtype=np.int64), type=pa.int64()
+                ),
             }
         )
 
     dup = (
         docs.map_batches(gram_partial, batch_format="pyarrow")
-        .groupby("ghash", num_partitions=nbuckets)
-        .map_groups(dup_emit, batch_format="pandas")
+        .groupby("bucket", num_partitions=min(nbuckets, 8))
+        .map_groups(bucket_dup, batch_format="pandas")
         # break the plan: the per-doc fold below adds a second hash
         # shuffle, and >1 HashShuffleOperator in one streaming plan
         # deadlocks small clusters (Ray 2.49.2). Bounded: <= one row
