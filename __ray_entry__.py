@@ -787,6 +787,17 @@ def _q_approx_quantiles(sf_dir: str) -> Any:
     return approx_grouped_quantiles(ds)
 
 
+def _q_global_row_number(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.relational import global_row_number
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    return global_row_number(ds)
+
+
 def _q_adaptive_length_filter(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -962,6 +973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_top_k": _q_grouped_top_k,
         "pack_sequences": _q_pack_sequences,
         "adaptive_length_filter": _q_adaptive_length_filter,
+        "global_row_number": _q_global_row_number,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1670,6 +1682,12 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    TRUE AS within_bound
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "global_row_number": """
+            SELECT event_id, value,
+                   CAST(row_number() OVER (ORDER BY value, event_id)
+                     AS BIGINT) AS rank
+            FROM events ORDER BY event_id
         """,
         "adaptive_length_filter": """
             WITH b AS (

@@ -583,3 +583,27 @@ def test_adaptive_length_filter_per_group_bounds(ray_session):
     assert len(kept_s) == 19 and len(kept_l) == 19  # p5/p95 trim one each
     assert kept_s.min() == 11 and kept_s.max() == 29
     assert kept_l.min() == 110 and kept_l.max() == 290
+
+
+def test_global_row_number_across_blocks(ray_session):
+    from greenocr_ray.functions.relational import global_row_number
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    vals = rng.permutation(200).astype("float64")
+    t1 = pa.table(
+        {
+            "event_id": pa.array(np.arange(100), type=pa.int64()),
+            "value": vals[:100],
+        }
+    )
+    t2 = pa.table(
+        {
+            "event_id": pa.array(np.arange(100, 200), type=pa.int64()),
+            "value": vals[100:],
+        }
+    )
+    ds = rd.from_arrow(t1).union(rd.from_arrow(t2))
+    out = global_row_number(ds).to_pandas().sort_values("rank")
+    assert list(out["rank"]) == list(range(1, 201))
+    # rank order must equal value order (values are a permutation)
+    assert list(out["value"]) == sorted(vals.tolist())
