@@ -787,6 +787,16 @@ def _q_approx_quantiles(sf_dir: str) -> Any:
     return approx_grouped_quantiles(ds)
 
 
+def _q_profile_lineitem(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.relational import profile_numeric
+
+    cols = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    return profile_numeric(ds, cols)
+
+
 def _q_global_row_number(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -974,6 +984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "adaptive_length_filter": _q_adaptive_length_filter,
         "global_row_number": _q_global_row_number,
+        "profile_lineitem": _q_profile_lineitem,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1682,6 +1693,21 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    TRUE AS within_bound
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "profile_lineitem": """
+            SELECT col, CAST(count(*) AS BIGINT) AS n,
+                   CAST(0 AS BIGINT) AS n_null,
+                   min(v) AS vmin, max(v) AS vmax,
+                   ROUND(avg(v), 4) AS mean
+            FROM (
+              SELECT 'l_discount' AS col, l_discount AS v FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+              UNION ALL
+              SELECT 'l_quantity', l_quantity FROM lineitem
+              UNION ALL
+              SELECT 'l_tax', l_tax FROM lineitem
+            ) GROUP BY col ORDER BY col
         """,
         "global_row_number": """
             SELECT event_id, value,

@@ -941,3 +941,52 @@ def global_row_number(events: rd.Dataset) -> rd.Dataset:
     return rd.from_arrow_refs(
         [add_rank.remote(r, int(o)) for r, o in zip(refs, offsets)]
     )
+
+
+# ------------------------------------------------- table profiling
+
+
+def profile_numeric(
+    ds: rd.Dataset, columns: list[str]
+) -> pd.DataFrame:
+    """One-pass data profiler over numeric columns: per-column row
+    count, null count, min, max, mean — the sanity scan run before any
+    100-TB job. A single streaming map_batches emits one partial row
+    per (block, column); the driver folds #columns x #blocks rows
+    (combine_small_agg), so cost is one read of just the profiled
+    columns regardless of table size.
+    """
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for c in columns:
+            col = t.column(c)
+            rows.append(
+                {
+                    "col": c,
+                    "n": t.num_rows,
+                    "n_null": col.null_count,
+                    "vmin": pc.min(col).as_py(),
+                    "vmax": pc.max(col).as_py(),
+                    "vsum": pc.sum(col).as_py() or 0.0,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    out = combine_small_agg(
+        ds.select_columns(columns).map_batches(
+            partial, batch_format="pyarrow", batch_size=65536
+        ),
+        ["col"],
+        {"n": "sum", "n_null": "sum", "vmin": "min", "vmax": "max", "vsum": "sum"},
+    )
+    valid = (out["n"] - out["n_null"]).clip(lower=1)
+    out["mean"] = round_half_away(out["vsum"] / valid, 4)
+    # 4 dp, not 6: mean inherits float summation-order noise (~1e-9),
+    # and discrete hundredths data can park the true mean within that
+    # noise of a 6-dp half boundary (observed on l_tax), flipping the
+    # last digit vs the SQL oracle
+    out = out.sort_values("col").reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    out["n_null"] = out["n_null"].astype("int64")
+    return out[["col", "n", "n_null", "vmin", "vmax", "mean"]]

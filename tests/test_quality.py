@@ -607,3 +607,19 @@ def test_global_row_number_across_blocks(ray_session):
     assert list(out["rank"]) == list(range(1, 201))
     # rank order must equal value order (values are a permutation)
     assert list(out["value"]) == sorted(vals.tolist())
+
+
+def test_profile_numeric_with_nulls(ray_session):
+    from greenocr_ray.functions.relational import profile_numeric
+
+    t = pa.table(
+        {
+            "a": pa.array([1.0, None, 3.0, None], type=pa.float64()),
+            "b": pa.array([10.0, 20.0, 30.0, 40.0], type=pa.float64()),
+        }
+    )
+    out = profile_numeric(rd.from_arrow(t), ["a", "b"]).set_index("col")
+    assert out.loc["a", "n"] == 4 and out.loc["a", "n_null"] == 2
+    assert out.loc["a", "vmin"] == 1.0 and out.loc["a", "vmax"] == 3.0
+    assert out.loc["a", "mean"] == 2.0  # mean over non-null values
+    assert out.loc["b", "n_null"] == 0 and out.loc["b", "mean"] == 25.0
