@@ -787,6 +787,17 @@ def _q_approx_quantiles(sf_dir: str) -> Any:
     return approx_grouped_quantiles(ds)
 
 
+def _q_value_deciles(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.relational import global_ntile
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    return global_ntile(ds, tiles=10)
+
+
 def _q_profile_lineitem(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -985,6 +996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adaptive_length_filter": _q_adaptive_length_filter,
         "global_row_number": _q_global_row_number,
         "profile_lineitem": _q_profile_lineitem,
+        "value_deciles": _q_value_deciles,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1693,6 +1705,12 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    TRUE AS within_bound
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "value_deciles": """
+            SELECT event_id, value,
+                   CAST(ntile(10) OVER (ORDER BY value, event_id)
+                     AS BIGINT) AS tile
+            FROM events ORDER BY event_id
         """,
         "profile_lineitem": """
             SELECT col, CAST(count(*) AS BIGINT) AS n,

@@ -990,3 +990,31 @@ def profile_numeric(
     out["n"] = out["n"].astype("int64")
     out["n_null"] = out["n_null"].astype("int64")
     return out[["col", "n", "n_null", "vmin", "vmax", "mean"]]
+
+
+def global_ntile(events: rd.Dataset, tiles: int = 10) -> rd.Dataset:
+    """Exact SQL ntile(k) OVER (ORDER BY value, event_id): rank-based
+    tile assignment (first N % k tiles get one extra row — ties split
+    by rank, matching SQL, unlike threshold bucketing). Composes
+    global_row_number, then a vectorized rank->tile map per block; the
+    total row count is one integer from the sort's block metadata.
+    """
+    ranked = global_row_number(events).materialize()
+    n = ranked.count()
+    q, r = divmod(n, tiles)
+    cut = r * (q + 1)  # ranks <= cut are in the (q+1)-sized tiles
+
+    def assign(t: pa.Table) -> pa.Table:
+        rank = t.column("rank").to_numpy(zero_copy_only=False)
+        big = (rank - 1) // max(q + 1, 1) + 1
+        small = r + (rank - 1 - cut) // max(q, 1) + 1
+        tile = np.where(rank <= cut, big, small).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "value": t.column("value"),
+                "tile": pa.array(tile, type=pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(assign, batch_format="pyarrow")

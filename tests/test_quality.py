@@ -623,3 +623,24 @@ def test_profile_numeric_with_nulls(ray_session):
     assert out.loc["a", "vmin"] == 1.0 and out.loc["a", "vmax"] == 3.0
     assert out.loc["a", "mean"] == 2.0  # mean over non-null values
     assert out.loc["b", "n_null"] == 0 and out.loc["b", "mean"] == 25.0
+
+
+def test_global_ntile_uneven(ray_session):
+    from greenocr_ray.functions.relational import global_ntile
+
+    # 23 rows over 10 tiles: first 3 tiles get 3 rows, rest get 2
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(23), type=pa.int64()),
+            "value": np.arange(23).astype("float64"),
+        }
+    )
+    out = (
+        global_ntile(rd.from_arrow(t), tiles=10)
+        .to_pandas()
+        .sort_values("value")
+    )
+    sizes = out.groupby("tile").size()
+    assert list(sizes[sizes.index <= 3]) == [3, 3, 3]
+    assert list(sizes[sizes.index > 3]) == [2] * 7
+    assert list(out["tile"]) == sorted(out["tile"])  # monotone in value
