@@ -787,6 +787,19 @@ def _q_approx_quantiles(sf_dir: str) -> Any:
     return approx_grouped_quantiles(ds)
 
 
+def _q_mix_sources(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import mix_sources
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return mix_sources(
+        ds, {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    )
+
+
 def _q_value_deciles(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -997,6 +1010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_row_number": _q_global_row_number,
         "profile_lineitem": _q_profile_lineitem,
         "value_deciles": _q_value_deciles,
+        "mix_sources": _q_mix_sources,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1705,6 +1719,21 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    TRUE AS within_bound
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "mix_sources": """
+            WITH p(source, p) AS (VALUES
+              ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1)),
+            c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+                  FROM documents GROUP BY source),
+            t AS (SELECT min(c.n / p.p) AS T
+                  FROM c JOIN p USING (source) WHERE p.p > 0),
+            r AS (SELECT c.source, p.p * (SELECT T FROM t) / c.n AS rate
+                  FROM c JOIN p USING (source))
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r USING (source)
+            WHERE (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                        AS UBIGINT) + 0.5) / 1152921504606846976.0 < r.rate
+            ORDER BY d.doc_id
         """,
         "value_deciles": """
             SELECT event_id, value,

@@ -263,6 +263,58 @@ def approx_grouped_quantiles(
     return out.sort_values(key).reset_index(drop=True)
 
 
+# --------------------------------------------------- source mixing
+
+
+def mix_sources(
+    docs: rd.Dataset, targets: dict[str, float]
+) -> rd.Dataset:
+    """Deterministic down-sampling to target source proportions (the
+    data-mixing step before training): with n_s docs per source and
+    target weights p_s, the largest achievable corpus is T =
+    min(n_s/p_s), and each source keeps docs at rate r_s = p_s·T/n_s
+    (the binding source keeps everything). Selection is a pure hash
+    rule — keep iff u(doc_id) < r_s with u the md5-60-bit uniform —
+    so membership is reproducible, SQL-checkable, and shuffle-free:
+    one bounded-cardinality count pass, then a vectorized filter with
+    the tiny rate map in a closure. Sources not in ``targets`` drop.
+    Realized counts are binomial around p_s·T (exact-quota selection
+    would need a per-source rank = data-sized top-k).
+    """
+    counts = combine_small_agg(
+        docs.map_batches(
+            lambda t: t.to_pandas()
+            .groupby("source", sort=False)
+            .size()
+            .rename("n")
+            .reset_index(),
+            batch_format="pyarrow",
+            batch_size=65536,
+        ),
+        ["source"],
+        {"n": "sum"},
+    )
+    n_map = dict(zip(counts["source"], counts["n"].astype(float)))
+    T = min(
+        n_map[s] / p for s, p in targets.items() if p > 0 and s in n_map
+    )
+    rate = {s: targets[s] * T / n_map[s] for s in targets if s in n_map}
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["source"].map(rate).fillna(0.0).to_numpy(dtype=np.float64)
+        u = np.array(
+            [
+                (int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) + 0.5)
+                / float(1 << 60)
+                for d in df["doc_id"]
+            ],
+            dtype=np.float64,
+        )
+        return df[u < r]
+
+    return docs.map_batches(keep, batch_format="pandas", batch_size=65536)
+
+
 # ------------------------------------------- adaptive length filter
 
 

@@ -644,3 +644,37 @@ def test_global_ntile_uneven(ray_session):
     assert list(sizes[sizes.index <= 3]) == [3, 3, 3]
     assert list(sizes[sizes.index > 3]) == [2] * 7
     assert list(out["tile"]) == sorted(out["tile"])  # monotone in value
+
+
+def test_mix_sources_rates_and_binding(ray_session):
+    from greenocr_ray.functions.corpus import mix_sources
+
+    # heavy: 1000 docs, light: 100 docs; targets 50/50 -> light binds
+    # (T=200), heavy keeps at rate 0.1, light keeps everything
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(1100), type=pa.int64()),
+            "source": ["heavy"] * 1000 + ["light"] * 100 + [],
+        }
+    )
+    out = (
+        mix_sources(
+            rd.from_arrow(t), {"heavy": 0.5, "light": 0.5}
+        )
+        .to_pandas()
+    )
+    n = out.groupby("source").size()
+    assert n["light"] == 100  # binding source keeps all
+    assert 70 <= n["heavy"] <= 140  # binomial(1000, 0.1)
+    # unlisted sources drop entirely
+    t2 = pa.table(
+        {
+            "doc_id": pa.array([5000], type=pa.int64()),
+            "source": ["other"],
+        }
+    )
+    out2 = mix_sources(
+        rd.from_arrow(t).union(rd.from_arrow(t2)),
+        {"heavy": 0.5, "light": 0.5},
+    ).to_pandas()
+    assert "other" not in set(out2["source"])
