@@ -787,6 +787,17 @@ def _q_approx_quantiles(sf_dir: str) -> Any:
     return approx_grouped_quantiles(ds)
 
 
+def _q_chunk_documents(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import chunk_documents
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_documents(ds, chunk=64, overlap=16)
+
+
 def _q_mix_sources(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -1011,6 +1022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_lineitem": _q_profile_lineitem,
         "value_deciles": _q_value_deciles,
         "mix_sources": _q_mix_sources,
+        "chunk_documents": _q_chunk_documents,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1719,6 +1731,20 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    TRUE AS within_bound
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "chunk_documents": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST((start - 1) / 48 AS BIGINT) AS chunk_id,
+                   CAST(least(len(w) - start + 1, 64) AS BIGINT) AS n_tokens,
+                   array_to_string(w[start:start+63], ' ') AS text
+            FROM toks, LATERAL UNNEST(
+              generate_series(1, len(w), 48)) AS t(start)
+            WHERE len(w) > 0
+            ORDER BY doc_id, chunk_id
         """,
         "mix_sources": """
             WITH p(source, p) AS (VALUES

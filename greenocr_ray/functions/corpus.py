@@ -263,6 +263,50 @@ def approx_grouped_quantiles(
     return out.sort_values(key).reset_index(drop=True)
 
 
+# ------------------------------------------------ document chunking
+
+
+def chunk_documents(
+    docs: rd.Dataset, chunk: int = 256, overlap: int = 32
+) -> rd.Dataset:
+    """Split docs into fixed-size token chunks with overlap (the
+    pre-training windowing step): chunk i covers tokens
+    [i·stride, i·stride + chunk) with stride = chunk - overlap, until
+    the start passes the end; trailing chunks may be short; empty docs
+    emit nothing. Chunk text is the space-join of its tokens (a
+    deterministic contract both the engine and the SQL oracle state
+    identically). Pure flat-map shape — streams, no shuffle, output
+    rows carry (doc_id, chunk_id, n_tokens, text).
+    """
+    stride = chunk - overlap
+    if stride <= 0:
+        raise ValueError("chunk must exceed overlap")
+
+    def split(t: pa.Table) -> pa.Table:
+        ids, cids, ns, texts = [], [], [], []
+        for doc_id, s in zip(
+            t.column("doc_id").to_pylist(),
+            pc.utf8_lower(t.column("text")).to_pylist(),
+        ):
+            w = _TOKEN_RE.findall(s)
+            for ci, start in enumerate(range(0, len(w), stride)):
+                piece = w[start : start + chunk]
+                ids.append(doc_id)
+                cids.append(ci)
+                ns.append(len(piece))
+                texts.append(" ".join(piece))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "chunk_id": pa.array(cids, type=pa.int64()),
+                "n_tokens": pa.array(ns, type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(split, batch_format="pyarrow", batch_size=4096)
+
+
 # --------------------------------------------------- source mixing
 
 

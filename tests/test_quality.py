@@ -678,3 +678,31 @@ def test_mix_sources_rates_and_binding(ray_session):
         {"heavy": 0.5, "light": 0.5},
     ).to_pandas()
     assert "other" not in set(out2["source"])
+
+
+def test_chunk_documents_boundaries(ray_session):
+    from greenocr_ray.functions.corpus import chunk_documents
+
+    import pytest
+
+    ten = " ".join(f"t{i}" for i in range(10))
+    docs = rd.from_arrow(
+        _docs_table([(1, ten), (2, "a b c"), (3, ""), (4, "solo")])
+    )
+    out = (
+        chunk_documents(docs, chunk=4, overlap=1)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    d1 = out[out["doc_id"] == 1]
+    # stride 3: starts 0,3,6,9 -> last chunk is the single token t9
+    assert list(d1["n_tokens"]) == [4, 4, 4, 1]
+    assert d1.iloc[0]["text"] == "t0 t1 t2 t3"
+    assert d1.iloc[1]["text"] == "t3 t4 t5 t6"  # 1-token overlap
+    assert d1.iloc[3]["text"] == "t9"
+    assert list(out[out["doc_id"] == 2]["n_tokens"]) == [3]
+    assert 3 not in set(out["doc_id"])  # empty doc emits nothing
+    assert list(out[out["doc_id"] == 4]["text"]) == ["solo"]
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk=4, overlap=4)
