@@ -787,6 +787,17 @@ def _q_approx_quantiles(sf_dir: str) -> Any:
     return approx_grouped_quantiles(ds)
 
 
+def _q_normalize_unicode(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.stages.clean_text import normalize_unicode
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(normalize_unicode, batch_format="pyarrow")
+
+
 def _q_chunk_documents(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -1023,6 +1034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_deciles": _q_value_deciles,
         "mix_sources": _q_mix_sources,
         "chunk_documents": _q_chunk_documents,
+        "normalize_unicode": _q_normalize_unicode,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1731,6 +1743,14 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    TRUE AS within_bound
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "normalize_unicode": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(nfc_normalize(lower(text)),
+                        '\s+', ' ', 'g')) AS text_norm,
+                   trim(regexp_replace(nfc_normalize(lower(text)),
+                        '\s+', ' ', 'g')) <> text AS changed
+            FROM documents ORDER BY doc_id
         """,
         "chunk_documents": r"""
             WITH toks AS (

@@ -96,3 +96,40 @@ def clean_text_spans(batch: pa.Table) -> pa.Table:
             "confidence": pa.array(np.ones(n, dtype=np.float64)),
         }
     )
+
+
+def normalize_unicode(batch: pa.Table) -> pa.Table:
+    """Unicode canonicalization over the documents table, matching
+    trim(regexp_replace(nfc_normalize(lower(text)), '\\s+', ' ', 'g')):
+    lower, NFC-compose, collapse whitespace runs, trim. Lower /
+    collapse / trim are pyarrow.compute kernels; NFC goes through
+    Python unicodedata ONLY for rows the vectorized [^ -~] probe flags
+    as non-ASCII (pyarrow 16's utf8_normalize(form='NFC') does NOT
+    compose e+U+0301 into é — verified empirically — so it cannot
+    match DuckDB's nfc_normalize). ASCII rows, the bulk of a crawl,
+    never leave Arrow. Emits a `changed` flag so downstream can count
+    normalization work.
+    """
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    t = batch.column("text")
+    n = pc.utf8_lower(t)
+    mask = pc.match_substring_regex(n, r"[^\x00-\x7F]")
+    if pc.any(mask).as_py():
+        vals = n.to_pylist()
+        flags = mask.to_pylist()
+        vals = [
+            unicodedata.normalize("NFC", v) if (f and v is not None) else v
+            for v, f in zip(vals, flags)
+        ]
+        n = pa.array(vals, type=pa.string())
+    n = pc.utf8_trim_whitespace(pc.replace_substring_regex(n, r"\s+", " "))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "text_norm": n,
+            "changed": pc.not_equal(n, t),
+        }
+    )

@@ -706,3 +706,44 @@ def test_chunk_documents_boundaries(ray_session):
     assert list(out[out["doc_id"] == 4]["text"]) == ["solo"]
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk=4, overlap=4)
+
+
+def test_normalize_unicode_composition_and_collapse():
+    from greenocr_ray.stages.clean_text import normalize_unicode
+
+    # "Ame" + combining acute + "lie": NFC composes to é
+    decomposed = "Amélie  WAS\there "
+    t = normalize_unicode(
+        _docs_table([(1, decomposed), (2, "plain text"), (3, "ÆØÅ ß")])
+    ).to_pandas().set_index("doc_id")
+    assert t.loc[1, "text_norm"] == "amélie was here"
+    assert bool(t.loc[1, "changed"])
+    assert t.loc[2, "text_norm"] == "plain text"
+    assert not bool(t.loc[2, "changed"])
+    assert t.loc[3, "text_norm"] == "æøå ß"  # ß lowercases to itself
+
+
+def test_normalize_unicode_duckdb_parity_non_ascii():
+    import duckdb
+
+    from greenocr_ray.stages.clean_text import normalize_unicode
+
+    rows = [
+        (1, "Ame" + chr(0x301) + "lie  WAS\there "),
+        (2, "ÆØÅ ß"),  # NBSP is \s in RE2? must match both sides
+        (3, "już  składnia"),
+    ]
+    mine = normalize_unicode(_docs_table(rows)).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    theirs = con.execute(
+        r"""SELECT doc_id,
+               trim(regexp_replace(nfc_normalize(lower(text)),
+                    '\s+', ' ', 'g')) AS text_norm,
+               trim(regexp_replace(nfc_normalize(lower(text)),
+                    '\s+', ' ', 'g')) <> text AS changed
+           FROM d ORDER BY doc_id"""
+    ).df()
+    assert list(mine["text_norm"]) == list(theirs["text_norm"])
+    assert list(mine["changed"]) == list(theirs["changed"])
