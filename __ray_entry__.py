@@ -787,6 +787,18 @@ def _q_approx_quantiles(sf_dir: str) -> Any:
     return approx_grouped_quantiles(ds)
 
 
+def _q_llm_prep(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import llm_prep
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars", "text"],
+    )
+    return llm_prep(ds, chunk=64, overlap=16)
+
+
 def _q_normalize_unicode(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -1035,6 +1047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_sources": _q_mix_sources,
         "chunk_documents": _q_chunk_documents,
         "normalize_unicode": _q_normalize_unicode,
+        "llm_prep": _q_llm_prep,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1743,6 +1756,44 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    TRUE AS within_bound
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "llm_prep": r"""
+            WITH norm AS (
+              SELECT doc_id, source, n_chars,
+                     trim(regexp_replace(nfc_normalize(lower(text)),
+                          '\s+', ' ', 'g')) AS text
+              FROM documents
+            ),
+            b AS (
+              SELECT source,
+                     percentile_cont(0.05) WITHIN GROUP (ORDER BY n_chars)
+                       AS lo,
+                     percentile_cont(0.95) WITHIN GROUP (ORDER BY n_chars)
+                       AS hi
+              FROM norm GROUP BY source
+            ),
+            filt AS (
+              SELECT n.doc_id, n.text FROM norm n JOIN b USING (source)
+              WHERE n.n_chars >= b.lo AND n.n_chars <= b.hi
+            ),
+            ded AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY text ORDER BY doc_id)
+                         AS rn
+                FROM filt) WHERE rn = 1
+            ),
+            toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\w+') AS w FROM ded
+            )
+            SELECT doc_id,
+                   CAST((start - 1) / 48 AS BIGINT) AS chunk_id,
+                   CAST(least(len(w) - start + 1, 64) AS BIGINT) AS n_tokens,
+                   array_to_string(w[start:start+63], ' ') AS text
+            FROM toks, LATERAL UNNEST(
+              generate_series(1, len(w), 48)) AS t(start)
+            WHERE len(w) > 0
+            ORDER BY doc_id, chunk_id
         """,
         "normalize_unicode": r"""
             SELECT doc_id,

@@ -263,6 +263,49 @@ def approx_grouped_quantiles(
     return out.sort_values(key).reset_index(drop=True)
 
 
+# ----------------------------------------- composed LLM-prep pipeline
+
+
+def llm_prep(
+    docs: rd.Dataset, chunk: int = 64, overlap: int = 16
+) -> rd.Dataset:
+    """The end-to-end LLM training-data prep chain, composed from the
+    engine's own stages exactly as a user would write it:
+
+        adaptive_length_filter (per-source [p5,p95] on n_chars) ->
+        normalize_unicode -> exact_dedup (keep min doc_id per
+        NORMALIZED text) -> chunk_documents (stride windows)
+
+    Every step is individually oracle-checked; this entry checks the
+    COMPOSITION against one chained-CTE SQL oracle, catching
+    inter-stage contract drift (column renames, ordering assumptions,
+    normalization-before-dedup) that per-stage gates cannot see.
+    Filtering runs FIRST because it depends only on the original
+    n_chars: the filter's bounds pass consumes its input twice, and
+    placing normalization upstream of it would re-execute the
+    normalize map for the bounds scan. The whole chain streams: one
+    bounded-key groupby (percentile bounds), one dedup-partial fold +
+    drop-map broadcast, zero corpus-scale driver state.
+    """
+    from ..stages.clean_text import normalize_unicode
+
+    def norm(t: pa.Table) -> pa.Table:
+        out = normalize_unicode(t)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text": out.column("text_norm"),
+            }
+        )
+
+    ds = adaptive_length_filter(docs)
+    ds = ds.map_batches(norm, batch_format="pyarrow")
+    from .dedup import exact_dedup
+
+    ds = exact_dedup(ds)
+    return chunk_documents(ds, chunk=chunk, overlap=overlap)
+
+
 # ------------------------------------------------ document chunking
 
 

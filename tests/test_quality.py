@@ -747,3 +747,34 @@ def test_normalize_unicode_duckdb_parity_non_ascii():
     ).df()
     assert list(mine["text_norm"]) == list(theirs["text_norm"])
     assert list(mine["changed"]) == list(theirs["changed"])
+
+
+def test_llm_prep_composition(ray_session):
+    from greenocr_ray.functions.corpus import llm_prep
+
+    # docs 1 and 2 normalize to the SAME text (case/whitespace): dedup
+    # must keep doc 1 only — and only AFTER normalization would they
+    # collide, so this catches normalize-before-dedup ordering drift
+    base = " ".join(f"w{i}" for i in range(10))
+    rows = [
+        (1, "s", len(base), base),
+        (2, "s", len(base), base.upper() + "  "),
+        (3, "s", len(base), "totally different words here ok"),
+        # length outlier within its source -> filtered before chunking
+        (4, "s", 10_000, "x " * 5000),
+    ] + [(10 + i, "s", len(base) + i % 3, f"doc {i} unique filler text") for i in range(20)]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "source": [r[1] for r in rows],
+            "n_chars": pa.array([r[2] for r in rows], type=pa.int64()),
+            "text": [r[3] for r in rows],
+        }
+    )
+    out = llm_prep(rd.from_arrow(t), chunk=4, overlap=1).to_pandas()
+    ids = set(out["doc_id"])
+    assert 1 in ids and 2 not in ids  # post-normalization dedup
+    assert 4 not in ids  # p95 length outlier dropped
+    d1 = out[out["doc_id"] == 1].sort_values("chunk_id")
+    assert list(d1["n_tokens"]) == [4, 4, 4, 1]  # 10 tokens, stride 3
+    assert d1.iloc[0]["text"] == "w0 w1 w2 w3"
