@@ -787,6 +787,12 @@ def _q_approx_quantiles(sf_dir: str) -> Any:
     return approx_grouped_quantiles(ds)
 
 
+def _q_priority_revenue(sf_dir: str) -> Any:
+    from greenocr_ray.functions.relational import q_priority_revenue
+
+    return q_priority_revenue(sf_dir)
+
+
 def _q_llm_prep(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -1048,6 +1054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "normalize_unicode": _q_normalize_unicode,
         "llm_prep": _q_llm_prep,
+        "priority_revenue": _q_priority_revenue,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1756,6 +1763,14 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    TRUE AS within_bound
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "priority_revenue": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   ROUND(sum(l_quantity), 2) AS sum_qty,
+                   ROUND(sum(l_extendedprice), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "llm_prep": r"""
             WITH norm AS (

@@ -1018,3 +1018,47 @@ def global_ntile(events: rd.Dataset, tiles: int = 10) -> rd.Dataset:
         )
 
     return ranked.map_batches(assign, batch_format="pyarrow")
+
+
+# ------------------------------------------- large-large shuffle join
+
+
+def q_priority_revenue(sf_dir: str, num_partitions: int = 16) -> pd.DataFrame:
+    """lineitem ⋈ orders on orderkey — the one join shape the rest of
+    the relational suite avoids by broadcasting: here BOTH sides are
+    fact-table-sized, so this is a genuine hash-partitioned shuffle
+    join (``Dataset.join``, the same exchange the flagship pipeline
+    uses for media payloads in stages/join.py). Joined rows then
+    pre-aggregate per batch onto the bounded o_orderpriority key.
+    Scale note: at 100 TB both fan-ins shuffle once on orderkey;
+    nothing broadcasts, nothing lands on the driver but the final
+    5-row fold.
+    """
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    j = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        g = df.groupby("o_orderpriority", sort=False).agg(
+            n_lines=("l_quantity", "size"),
+            sum_qty=("l_quantity", "sum"),
+            revenue=("l_extendedprice", "sum"),
+        )
+        return g.reset_index()
+
+    out = combine_small_agg(
+        j.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["o_orderpriority"],
+        {"n_lines": "sum", "sum_qty": "sum", "revenue": "sum"},
+    )
+    out["sum_qty"] = round_half_away(out["sum_qty"], 2)
+    out["revenue"] = round_half_away(out["revenue"], 2)
+    out["n_lines"] = out["n_lines"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)

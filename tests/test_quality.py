@@ -778,3 +778,39 @@ def test_llm_prep_composition(ray_session):
     d1 = out[out["doc_id"] == 1].sort_values("chunk_id")
     assert list(d1["n_tokens"]) == [4, 4, 4, 1]  # 10 tokens, stride 3
     assert d1.iloc[0]["text"] == "w0 w1 w2 w3"
+
+
+def test_priority_revenue_inner_join_semantics(ray_session, tmp_path):
+    from greenocr_ray.functions.relational import q_priority_revenue
+
+    d = tmp_path / "pj"
+    d.mkdir()
+    _write(
+        d,
+        "lineitem",
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2, 99], type=pa.int64()),
+                "l_quantity": [2.0, 3.0, 5.0, 7.0],  # 99 has no order
+                "l_extendedprice": [10.0, 20.0, 30.0, 40.0],
+            }
+        ),
+    )
+    _write(
+        d,
+        "orders",
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+                "o_orderpriority": ["1-URGENT", "2-HIGH", "2-HIGH"],
+            }
+        ),
+    )
+    out = q_priority_revenue(str(d), num_partitions=4).set_index(
+        "o_orderpriority"
+    )
+    assert out.loc["1-URGENT", "n_lines"] == 2
+    assert out.loc["1-URGENT", "sum_qty"] == 5.0
+    # order 3 has no lineitems, lineitem 99 has no order: both dropped
+    assert out.loc["2-HIGH", "n_lines"] == 1
+    assert len(out) == 2
