@@ -787,6 +787,12 @@ def _q_approx_quantiles(sf_dir: str) -> Any:
     return approx_grouped_quantiles(ds)
 
 
+def _q_next_event_gap(sf_dir: str) -> Any:
+    from greenocr_ray.functions.relational import q_next_event_gap
+
+    return q_next_event_gap(sf_dir)
+
+
 def _q_priority_revenue(sf_dir: str) -> Any:
     from greenocr_ray.functions.relational import q_priority_revenue
 
@@ -1055,6 +1061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_unicode": _q_normalize_unicode,
         "llm_prep": _q_llm_prep,
         "priority_revenue": _q_priority_revenue,
+        "next_event_gap": _q_next_event_gap,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1763,6 +1770,14 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    TRUE AS within_bound
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "next_event_gap": """
+            SELECT event_id,
+                   coalesce(CAST(date_diff('microseconds', ts,
+                     lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id))
+                     AS DOUBLE) / 1e6, -1.0) AS gap_sec
+            FROM events ORDER BY event_id
         """,
         "priority_revenue": """
             SELECT o_orderpriority,

@@ -1062,3 +1062,46 @@ def q_priority_revenue(sf_dir: str, num_partitions: int = 16) -> pd.DataFrame:
     out["revenue"] = round_half_away(out["revenue"], 2)
     out["n_lines"] = out["n_lines"].astype("int64")
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+# ---------------------------------------------------- lead/lag window
+
+
+def q_next_event_gap(sf_dir: str, nbuckets: int = 16) -> rd.Dataset:
+    """Per-user lead(): seconds from each event to the same user's
+    next event (-1.0 for the user's last event) — the lag/lead window
+    shape. Users are data-sized keys, so grouping per user would call
+    the UDF once per user; instead users hash into ``nbuckets`` groups
+    and each bucket task sorts (user, ts, event_id) and diffs
+    VECTORIZED, with user boundaries masked via shift-compare. One
+    hash shuffle, no driver state.
+    """
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        b = (np.abs(u) % nbuckets).astype(np.int32)
+        return t.append_column("bucket", pa.array(b, type=pa.int32()))
+
+    def gaps(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        ts = g["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        uid = g["user_id"].to_numpy()
+        nxt = np.roll(ts, -1)
+        same = np.roll(uid, -1) == uid
+        same[-1:] = False
+        gap = np.where(same, (nxt - ts) / 1e6, -1.0)
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    g["event_id"].to_numpy(dtype=np.int64), type=pa.int64()
+                ),
+                "gap_sec": pa.array(gap, type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=min(nbuckets, 8))
+        .map_groups(gaps, batch_format="pandas")
+    )

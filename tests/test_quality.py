@@ -814,3 +814,39 @@ def test_priority_revenue_inner_join_semantics(ray_session, tmp_path):
     # order 3 has no lineitems, lineitem 99 has no order: both dropped
     assert out.loc["2-HIGH", "n_lines"] == 1
     assert len(out) == 2
+
+
+def test_next_event_gap_user_boundaries(ray_session, tmp_path):
+    from greenocr_ray.functions.relational import q_next_event_gap
+
+    d = tmp_path / "gap"
+    d.mkdir()
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    _write(
+        d,
+        "events",
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "ts": pa.array(
+                    np.array(
+                        [base, base + np.timedelta64(90, "s"),
+                         base + np.timedelta64(5, "s"), base],
+                        dtype="datetime64[us]",
+                    )
+                ),
+                # users 7 and 23 collide mod 16 -> same bucket, the
+                # boundary mask must still separate them
+                "user_id": pa.array([7, 7, 23, 23], type=pa.int64()),
+            }
+        ),
+    )
+    out = (
+        q_next_event_gap(str(d), nbuckets=16)
+        .to_pandas()
+        .set_index("event_id")
+    )
+    assert out.loc[1, "gap_sec"] == 90.0
+    assert out.loc[2, "gap_sec"] == -1.0  # last event of user 7
+    assert out.loc[4, "gap_sec"] == 5.0
+    assert out.loc[3, "gap_sec"] == -1.0
