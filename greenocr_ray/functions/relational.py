@@ -1036,6 +1036,21 @@ def q_priority_revenue(sf_dir: str, num_partitions: int = 16) -> pd.DataFrame:
     """
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    # bloom semi-join pushdown: 128 KB bitmap built from the build
+    # side's keys (per-batch OR-fold, never key-cardinality), probe
+    # rows that cannot match are dropped BEFORE the exchange. No false
+    # negatives, so the inner-join result is bit-identical (the SQL
+    # oracle checks exactly that); false positives only waste shuffle.
+    m_bits = 1 << 20
+    bits_ref = ray.put(bloom_build(orders, "o_orderkey", m_bits=m_bits))
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        keys = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(bloom_contains(keys, bits, m_bits)))
+
+    li = li.map_batches(prefilter, batch_format="pyarrow")
     j = li.join(
         orders,
         join_type="inner",
@@ -1105,3 +1120,59 @@ def q_next_event_gap(sf_dir: str, nbuckets: int = 16) -> rd.Dataset:
         .groupby("bucket", num_partitions=min(nbuckets, 8))
         .map_groups(gaps, batch_format="pandas")
     )
+
+
+# ------------------------------------------- bloom semi-join pushdown
+
+_BLOOM_SALTS = (
+    0x9E3779B97F4A7C15,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0x27D4EB2F165667C5,
+)
+
+
+def _bloom_hash(keys: np.ndarray, salt: int, m_bits: int) -> np.ndarray:
+    h = keys.astype(np.uint64) * np.uint64(salt)
+    h ^= h >> np.uint64(29)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(32)
+    return (h % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_build(
+    ds: rd.Dataset, col: str, m_bits: int = 1 << 20, k: int = 4
+) -> np.ndarray:
+    """Bloom filter over an int64 key column: per-batch bitmaps OR-fold
+    on the driver (m_bits/8 bytes each — 128 KB at the default — NOT
+    key-cardinality), so the build side never collects. False-positive
+    rate ~ (1-e^{-kn/m})^k; false negatives impossible (every set bit
+    survives the OR)."""
+    nbytes = m_bits // 8
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        keys = t.column(col).to_numpy(zero_copy_only=False)
+        for salt in _BLOOM_SALTS[:k]:
+            idx = _bloom_hash(keys, salt, m_bits)
+            np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], type=pa.binary())})
+
+    acc = np.zeros(nbytes, dtype=np.uint8)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for raw in b.column("bits").to_pylist():
+            acc |= np.frombuffer(raw, dtype=np.uint8)
+    return acc
+
+
+def bloom_contains(
+    keys: np.ndarray, bits: np.ndarray, m_bits: int, k: int = 4
+) -> np.ndarray:
+    """Vectorized membership probe (no false negatives)."""
+    ok = np.ones(len(keys), dtype=bool)
+    for salt in _BLOOM_SALTS[:k]:
+        idx = _bloom_hash(keys, salt, m_bits)
+        ok &= (bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
+    return ok

@@ -850,3 +850,22 @@ def test_next_event_gap_user_boundaries(ray_session, tmp_path):
     assert out.loc[2, "gap_sec"] == -1.0  # last event of user 7
     assert out.loc[4, "gap_sec"] == 5.0
     assert out.loc[3, "gap_sec"] == -1.0
+
+
+def test_bloom_no_false_negatives_and_filters(ray_session):
+    from greenocr_ray.functions.relational import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    present = rng.choice(10_000_000, size=5000, replace=False).astype("int64")
+    ds = rd.from_arrow(pa.table({"k": pa.array(present, type=pa.int64())}))
+    m = 1 << 20
+    bits = bloom_build(ds, "k", m_bits=m)
+    # every inserted key must probe true (no false negatives)
+    assert bloom_contains(present, bits, m).all()
+    # absent keys mostly filtered: fpr ~ (1-e^{-kn/m})^4 << 1%
+    absent = (present + 10_000_000).astype("int64")
+    fpr = bloom_contains(absent, bits, m).mean()
+    assert fpr < 0.01
