@@ -214,6 +214,7 @@ def main() -> None:
         "simhash",
         "knn_cosine",
         "fingerprints",
+        "llm_prep",
     ):
         t0 = time.monotonic()
         qs[name](sf_dir)
