@@ -787,6 +787,17 @@ def _q_approx_quantiles(sf_dir: str) -> Any:
     return approx_grouped_quantiles(ds)
 
 
+def _q_top_tokens_per_source(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import top_tokens_per_group
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return top_tokens_per_group(ds, k=5)
+
+
 def _q_next_event_gap(sf_dir: str) -> Any:
     from greenocr_ray.functions.relational import q_next_event_gap
 
@@ -1062,6 +1073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_prep": _q_llm_prep,
         "priority_revenue": _q_priority_revenue,
         "next_event_gap": _q_next_event_gap,
+        "top_tokens_per_source": _q_top_tokens_per_source,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1770,6 +1782,20 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    TRUE AS within_bound
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "top_tokens_per_source": r"""
+            WITH tc AS (
+              SELECT source, token, count(*) AS n FROM (
+                SELECT source,
+                       unnest(regexp_extract_all(lower(text), '\w+')) AS token
+                FROM documents)
+              GROUP BY source, token
+            )
+            SELECT source, token, CAST(n AS BIGINT) AS n,
+                   CAST(row_number() OVER (
+                     PARTITION BY source ORDER BY n DESC, token)
+                     AS BIGINT) AS rank
+            FROM tc QUALIFY rank <= 5 ORDER BY source, rank
         """,
         "next_event_gap": """
             SELECT event_id,

@@ -1325,3 +1325,108 @@ def approx_distinct_tokens(docs: rd.Dataset) -> pd.DataFrame:
             other.registers = np.frombuffer(raw, dtype=np.uint8).copy()
             total.merge(other)
     return pd.DataFrame({"approx_distinct_tokens": [total.estimate()]})
+
+
+# ------------------------------------------ grouped heavy hitters
+
+
+def top_tokens_per_group(
+    docs: rd.Dataset,
+    key: str = "source",
+    k: int = 5,
+    capacity: int = 256,
+) -> pd.DataFrame:
+    """Exact top-k tokens PER GROUP — per-domain vocabulary analysis.
+    Same two-phase heavy-hitters design as top_tokens, keyed: (1)
+    per-batch Misra-Gries summaries per group merge on the driver into
+    a per-group candidate superset (bounded: groups x capacity); (2)
+    the candidate map broadcasts and a second streaming pass recounts
+    ONLY candidates exactly, folded with combine_small_agg on
+    (group, token). No shuffle in either pass. Ties: count desc, token
+    asc. Exactness condition as top_tokens, per group.
+    """
+    import ray
+
+    from collections import Counter
+
+    def tokenize(s: str) -> list[str]:
+        return _TOKEN_RE.findall(s.lower())
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        per_group: dict[str, Counter] = {}
+        for g, s in zip(
+            t.column(key).to_pylist(), t.column("text").to_pylist()
+        ):
+            per_group.setdefault(g, Counter()).update(tokenize(s))
+        gs, toks, cs = [], [], []
+        for g, counts in per_group.items():
+            if len(counts) > capacity:
+                kth = sorted(counts.values(), reverse=True)[capacity - 1]
+                counts = Counter(
+                    {w: c - kth for w, c in counts.items() if c > kth}
+                )
+            gs.extend([g] * len(counts))
+            toks.extend(counts.keys())
+            cs.extend(counts.values())
+        return pa.table(
+            {
+                key: pa.array(gs, type=pa.string()),
+                "token": pa.array(toks, type=pa.string()),
+                "c": pa.array(cs, type=pa.int64()),
+            }
+        )
+
+    merged: dict[str, Counter] = {}
+    for b in docs.map_batches(mg_partial, batch_format="pyarrow").iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        for g, tk, c in zip(
+            b.column(key).to_pylist(),
+            b.column("token").to_pylist(),
+            b.column("c").to_pylist(),
+        ):
+            merged.setdefault(g, Counter())[tk] += c
+    cand = {
+        g: frozenset(t for t, _ in cnt.most_common(capacity))
+        for g, cnt in merged.items()
+    }
+    cand_ref = ray.put(cand)
+
+    def recount(t: pa.Table) -> pa.Table:
+        allow = ray.get(cand_ref)
+        per_group: dict[str, Counter] = {}
+        for g, s in zip(
+            t.column(key).to_pylist(), t.column("text").to_pylist()
+        ):
+            ok = allow.get(g, frozenset())
+            cnt = per_group.setdefault(g, Counter())
+            for tk in tokenize(s):
+                if tk in ok:
+                    cnt[tk] += 1
+        gs, toks, cs = [], [], []
+        for g, counts in per_group.items():
+            gs.extend([g] * len(counts))
+            toks.extend(counts.keys())
+            cs.extend(counts.values())
+        return pa.table(
+            {
+                key: pa.array(gs, type=pa.string()),
+                "token": pa.array(toks, type=pa.string()),
+                "n": pa.array(cs, type=pa.int64()),
+            }
+        )
+
+    exact = combine_small_agg(
+        docs.map_batches(recount, batch_format="pyarrow"),
+        [key, "token"],
+        {"n": "sum"},
+    )
+    out = (
+        exact.sort_values([key, "n", "token"], ascending=[True, False, True])
+        .groupby(key, sort=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = (out.groupby(key).cumcount() + 1).astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out[[key, "token", "n", "rank"]]

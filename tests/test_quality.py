@@ -869,3 +869,25 @@ def test_bloom_no_false_negatives_and_filters(ray_session):
     absent = (present + 10_000_000).astype("int64")
     fpr = bloom_contains(absent, bits, m).mean()
     assert fpr < 0.01
+
+
+def test_top_tokens_per_group_tight_capacity(ray_session):
+    from greenocr_ray.functions.corpus import top_tokens_per_group
+
+    heavy_a = " ".join(["aaa"] * 40 + ["bbb"] * 25)
+    rare_a = " ".join(f"ar{i:03d}" for i in range(150))
+    heavy_b = " ".join(["zzz"] * 30 + ["yyy"] * 10)
+    t = pa.table(
+        {
+            "source": ["A", "A", "B"],
+            "text": [heavy_a, rare_a, heavy_b],
+        }
+    )
+    out = top_tokens_per_group(
+        rd.from_arrow(t), k=2, capacity=16
+    )
+    a = out[out["source"] == "A"]
+    assert list(a["token"]) == ["aaa", "bbb"] and list(a["n"]) == [40, 25]
+    b = out[out["source"] == "B"]
+    assert list(b["token"]) == ["zzz", "yyy"] and list(b["n"]) == [30, 10]
+    assert list(b["rank"]) == [1, 2]
