@@ -787,6 +787,26 @@ def _q_approx_quantiles(sf_dir: str) -> Any:
     return approx_grouped_quantiles(ds)
 
 
+def _q_stopwords(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import detect_stopwords
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return detect_stopwords(ds)
+
+
+def _q_value_histogram(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import value_histogram
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return value_histogram(ds, bins=20)
+
+
 def _q_top_tokens_per_source(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -1074,6 +1094,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_revenue": _q_priority_revenue,
         "next_event_gap": _q_next_event_gap,
         "top_tokens_per_source": _q_top_tokens_per_source,
+        "stopwords": _q_stopwords,
+        "value_histogram": _q_value_histogram,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
         "stratified_sample": _q_stratified_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1782,6 +1804,32 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    TRUE AS within_bound
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "stopwords": r"""
+            WITH df AS (
+              SELECT token, count(*) AS df FROM (
+                SELECT DISTINCT doc_id,
+                       unnest(regexp_extract_all(lower(text), '\w+')) AS token
+                FROM documents)
+              GROUP BY token
+            )
+            SELECT token, CAST(df AS BIGINT) AS df,
+                   ROUND(df::DOUBLE / (SELECT count(*) FROM documents), 6)
+                     AS df_frac
+            FROM df
+            WHERE df * 2 >= (SELECT count(*) FROM documents)
+            ORDER BY df DESC, token
+        """,
+        "value_histogram": """
+            WITH r AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+            SELECT bin,
+                   ROUND(mn + bin * (mx - mn) / 20, 6) AS lo,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (
+              SELECT least(CAST(floor((value - mn) / (mx - mn) * 20)
+                       AS BIGINT), 19) AS bin, mn, mx
+              FROM events, r)
+            GROUP BY bin, mn, mx ORDER BY bin
         """,
         "top_tokens_per_source": r"""
             WITH tc AS (

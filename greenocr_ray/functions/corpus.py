@@ -1430,3 +1430,102 @@ def top_tokens_per_group(
     out["rank"] = (out.groupby(key).cumcount() + 1).astype("int64")
     out["n"] = out["n"].astype("int64")
     return out[[key, "token", "n", "rank"]]
+
+
+# ------------------------------------------------- stopword detection
+
+
+def detect_stopwords(docs: rd.Dataset, n_docs: int | None = None) -> pd.DataFrame:
+    """Corpus-driven stopword list: tokens present in >= half of all
+    docs (document frequency, not term frequency). Same DF machinery
+    as tf-idf pass 1 — per-batch distinct-per-doc counts, driver fold
+    below the band-row limit, vocab-scale hash shuffle above — then an
+    INTEGER threshold compare (df*2 >= N; a float df/N >= 0.5 can
+    round onto the boundary and disagree with SQL). Output is
+    stopword-bounded, never vocab-sized.
+    """
+    from collections import Counter
+
+    def tokenize(s: str) -> list[str]:
+        return _TOKEN_RE.findall(s.lower())
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t.column("text").to_pylist():
+            c.update(set(tokenize(s)))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), type=pa.string()),
+                "df": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(df_partial, batch_format="pyarrow").materialize()
+    n = n_docs if n_docs is not None else docs.count()
+    if parts.count() <= 5_000_000:
+        dfs = parts.to_pandas().groupby("token")["df"].sum().reset_index()
+    else:  # vocab-scale shuffle path (same policy as tfidf_top_terms)
+        from ray.data.aggregate import Sum
+
+        dfs = (
+            parts.groupby("token")
+            .aggregate(Sum("df", alias_name="df"))
+            .to_pandas()
+        )
+    sel = dfs[dfs["df"] * 2 >= n].copy()
+    sel["df_frac"] = round_half_away(sel["df"] / n, 6)
+    sel["df"] = sel["df"].astype("int64")
+    return (
+        sel.sort_values(["df", "token"], ascending=[False, True])
+        .reset_index(drop=True)[["token", "df", "df_frac"]]
+    )
+
+
+# --------------------------------------------------- value histogram
+
+
+def value_histogram(events: rd.Dataset, bins: int = 20) -> pd.DataFrame:
+    """Global fixed-bin histogram of ``value``: one min/max partial
+    pass, then per-batch bincounts against the broadcast range, folded
+    by bin on the driver (O(bins) state). The bin formula
+    least(floor((v-mn)/(mx-mn)*bins), bins-1) is stated identically in
+    the SQL oracle so boundary values land in the same bin.
+    """
+    rng = combine_small_agg(
+        events.map_batches(
+            lambda t: pd.DataFrame(
+                {
+                    "k": [0],
+                    "mn": [pc.min(t.column("value")).as_py()],
+                    "mx": [pc.max(t.column("value")).as_py()],
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=65536,
+        ),
+        ["k"],
+        {"mn": "min", "mx": "max"},
+    )
+    mn, mx = float(rng["mn"][0]), float(rng["mx"][0])
+    width = (mx - mn) or 1.0
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        b = np.minimum(
+            np.floor((v - mn) / width * bins).astype(np.int64), bins - 1
+        )
+        cnt = np.bincount(b, minlength=bins)
+        nz = np.nonzero(cnt)[0]
+        return pd.DataFrame({"bin": nz, "n": cnt[nz]})
+
+    out = combine_small_agg(
+        events.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["bin"],
+        {"n": "sum"},
+    )
+    out["bin"] = out["bin"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["lo"] = round_half_away(mn + out["bin"] * width / bins, 6)
+    return out.sort_values("bin").reset_index(drop=True)[
+        ["bin", "lo", "n"]
+    ]

@@ -891,3 +891,35 @@ def test_top_tokens_per_group_tight_capacity(ray_session):
     b = out[out["source"] == "B"]
     assert list(b["token"]) == ["zzz", "yyy"] and list(b["n"]) == [30, 10]
     assert list(b["rank"]) == [1, 2]
+
+
+def test_detect_stopwords_threshold(ray_session):
+    from greenocr_ray.functions.corpus import detect_stopwords
+
+    # "the" in 3/4 docs, "rare" in 1/4, "half" in exactly 2/4 (boundary
+    # df*2 == N must be INCLUDED)
+    docs = rd.from_arrow(
+        _docs_table(
+            [
+                (1, "the half cat"),
+                (2, "the half dog"),
+                (3, "the bird"),
+                (4, "rare fish"),
+            ]
+        )
+    )
+    out = detect_stopwords(docs)
+    assert list(out["token"]) == ["the", "half"]
+    assert list(out["df"]) == [3, 2]
+    assert out.loc[1, "df_frac"] == 0.5
+
+
+def test_value_histogram_edges(ray_session):
+    from greenocr_ray.functions.corpus import value_histogram
+
+    vals = np.array([0.0, 0.49, 0.5, 0.99, 1.0] + [0.25] * 5)
+    ds = rd.from_arrow(pa.table({"value": vals}))
+    out = value_histogram(ds, bins=2).set_index("bin")
+    # max value clamps into the LAST bin, not a phantom bins-th bin
+    assert out.loc[0, "n"] == 7 and out.loc[1, "n"] == 3
+    assert out.loc[0, "lo"] == 0.0 and out.loc[1, "lo"] == 0.5
