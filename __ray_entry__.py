@@ -787,6 +787,17 @@ def _q_approx_quantiles(sf_dir: str) -> Any:
     return approx_grouped_quantiles(ds)
 
 
+def _q_split_leakage(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import split_leakage
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return split_leakage(ds)
+
+
 def _q_stopwords(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -1095,6 +1106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "next_event_gap": _q_next_event_gap,
         "top_tokens_per_source": _q_top_tokens_per_source,
         "stopwords": _q_stopwords,
+        "split_leakage": _q_split_leakage,
         "value_histogram": _q_value_histogram,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
         "stratified_sample": _q_stratified_sample,
@@ -1804,6 +1816,22 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    TRUE AS within_bound
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "split_leakage": """
+            WITH s AS (
+              SELECT doc_id, text,
+                     CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                              < 'cd' THEN 'train'
+                          WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                              < 'e6' THEN 'valid'
+                          ELSE 'test' END AS split
+              FROM documents
+            )
+            SELECT t.doc_id FROM s t
+            WHERE t.split = 'test' AND EXISTS (
+              SELECT 1 FROM s tr
+              WHERE tr.split = 'train' AND tr.text = t.text)
+            ORDER BY t.doc_id
         """,
         "stopwords": r"""
             WITH df AS (

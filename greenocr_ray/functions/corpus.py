@@ -1529,3 +1529,64 @@ def value_histogram(events: rd.Dataset, bins: int = 20) -> pd.DataFrame:
     return out.sort_values("bin").reset_index(drop=True)[
         ["bin", "lo", "n"]
     ]
+
+
+# --------------------------------------------------- split leakage
+
+
+def split_leakage(docs: rd.Dataset, nbuckets: int = 16) -> rd.Dataset:
+    """Eval-hygiene check: test-split docs whose exact text also
+    appears in the train split (the leakage exact-dedup should have
+    removed). Per-batch partials emit (text_md5, split_flags, doc_id)
+    rows; one bucketed groupby (md5-bit buckets, per-gram-style
+    vectorized inside) finds text groups containing BOTH splits and
+    emits the test-side doc_ids. Output is leakage-bounded; nothing
+    corpus-sized leaves the workers.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        splits = split_of_ids(ids)
+        texts = t.column("text").to_pylist()
+        keep_ids, keep_md5, keep_split = [], [], []
+        for d, s, x in zip(ids, splits, texts):
+            if s == "valid":
+                continue
+            keep_ids.append(d)
+            keep_md5.append(hashlib.md5(x.encode()).hexdigest())
+            keep_split.append(s)
+        bucket = [int(h[:2], 16) % nbuckets for h in keep_md5]
+        return pa.table(
+            {
+                "text_md5": pa.array(keep_md5, type=pa.string()),
+                "split": pa.array(keep_split, type=pa.string()),
+                "bucket": pa.array(bucket, type=pa.int32()),
+                "doc_id": pa.array(keep_ids, type=pa.int64()),
+            }
+        )
+
+    def leaked(g: pd.DataFrame) -> pa.Table:
+        is_train = g["split"].to_numpy() == "train"
+        g = g.assign(is_train=is_train)
+        has_train = g.groupby("text_md5", sort=False)["is_train"].transform(
+            "any"
+        )
+        sel = g.loc[has_train.to_numpy() & ~is_train]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.sort(sel["doc_id"].to_numpy(dtype=np.int64)),
+                    type=pa.int64(),
+                )
+            }
+        )
+
+    out = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=min(nbuckets, 8))
+        .map_groups(leaked, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:  # all-empty output loses its schema (sharp edge)
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -923,3 +923,27 @@ def test_value_histogram_edges(ray_session):
     # max value clamps into the LAST bin, not a phantom bins-th bin
     assert out.loc[0, "n"] == 7 and out.loc[1, "n"] == 3
     assert out.loc[0, "lo"] == 0.0 and out.loc[1, "lo"] == 0.5
+
+
+def test_split_leakage_planted(ray_session):
+    import hashlib as _h
+
+    from greenocr_ray.functions.corpus import split_leakage, split_of_ids
+
+    # find real train and test doc_ids under the md5 split rule
+    train_id = next(i for i in range(1000) if split_of_ids([i]) == ["train"])
+    test_id = next(i for i in range(1000) if split_of_ids([i]) == ["test"])
+    test_id2 = next(
+        i for i in range(test_id + 1, 2000) if split_of_ids([i]) == ["test"]
+    )
+    docs = rd.from_arrow(
+        _docs_table(
+            [
+                (train_id, "the shared leaked document text"),
+                (test_id, "the shared leaked document text"),  # leaked
+                (test_id2, "clean unique test text"),
+            ]
+        )
+    )
+    out = split_leakage(docs)
+    assert list(out["doc_id"]) == [test_id]
