@@ -787,6 +787,43 @@ def _q_approx_quantiles(sf_dir: str) -> Any:
     return approx_grouped_quantiles(ds)
 
 
+def _q_snapshot_diff(sf_dir: str) -> Any:
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import snapshot_diff
+
+    a = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    # deterministic second snapshot derived in-stream: drop %7 docs,
+    # modify %11 docs, add a new doc per %13 doc — both the engine and
+    # the SQL oracle state the same derivation
+    def derive(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = np.array(t.column("text").to_pylist(), dtype=object)
+        keep = d % 7 != 0
+        dk, tk = d[keep], texts[keep]
+        mod = dk % 11 == 0
+        tk = np.where(mod, tk + " v2", tk)
+        new_ids = d[d % 13 == 0] + 1_000_000
+        out_ids = np.concatenate([dk, new_ids])
+        out_txt = np.concatenate(
+            [tk, np.full(len(new_ids), "new doc", dtype=object)]
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "text": pa.array(out_txt.tolist(), type=pa.string()),
+            }
+        )
+
+    b = a.map_batches(derive, batch_format="pyarrow")
+    return snapshot_diff(a, b)
+
+
 def _q_split_leakage(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -1107,6 +1144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_per_source": _q_top_tokens_per_source,
         "stopwords": _q_stopwords,
         "split_leakage": _q_split_leakage,
+        "snapshot_diff": _q_snapshot_diff,
         "value_histogram": _q_value_histogram,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
         "stratified_sample": _q_stratified_sample,
@@ -1816,6 +1854,25 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    TRUE AS within_bound
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "snapshot_diff": """
+            WITH a AS (SELECT doc_id, text FROM documents),
+            b AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, 'new doc'
+              FROM documents WHERE doc_id % 13 = 0
+            )
+            SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text
+            ORDER BY doc_id
         """,
         "split_leakage": """
             WITH s AS (

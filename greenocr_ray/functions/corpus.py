@@ -1590,3 +1590,85 @@ def split_leakage(docs: rd.Dataset, nbuckets: int = 16) -> rd.Dataset:
     if out.empty:  # all-empty output loses its schema (sharp edge)
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------- snapshot diff
+
+
+def snapshot_diff(
+    a: rd.Dataset, b: rd.Dataset, nbuckets: int = 16
+) -> pd.DataFrame:
+    """Dataset-versioning diff between two corpus snapshots on
+    (doc_id, text): emits (doc_id, status) rows with status in
+    {added, removed, changed}; unchanged docs emit NOTHING, so the
+    output is churn-bounded — re-crawl pipelines diff trillions of
+    rows and act on the few that moved. Each side collapses to
+    (doc_id, md5(text), side) partials, the union buckets on
+    doc_id %% nbuckets, and each bucket task pandas-merges the two
+    sides vectorized. One hash shuffle, no corpus-scale driver state.
+    """
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            texts = t.column("text").to_pylist()
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "h": pa.array(
+                        [hashlib.md5(x.encode()).hexdigest() for x in texts],
+                        type=pa.string(),
+                    ),
+                    "side": pa.array([side] * t.num_rows, type=pa.string()),
+                }
+            )
+
+        return fn
+
+    both = a.map_batches(tag("a"), batch_format="pyarrow").union(
+        b.map_batches(tag("b"), batch_format="pyarrow")
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket",
+            pa.array((np.abs(d) % nbuckets).astype(np.int32), type=pa.int32()),
+        )
+
+    def diff(g: pd.DataFrame) -> pa.Table:
+        av = g[g["side"] == "a"][["doc_id", "h"]]
+        bv = g[g["side"] == "b"][["doc_id", "h"]]
+        m = av.merge(bv, on="doc_id", how="outer", suffixes=("_a", "_b"))
+        added = m["h_a"].isna()
+        removed = m["h_b"].isna()
+        changed = ~added & ~removed & (m["h_a"] != m["h_b"])
+        status = np.select(
+            [added.to_numpy(), removed.to_numpy(), changed.to_numpy()],
+            ["added", "removed", "changed"],
+            default="",
+        )
+        sel = status != ""
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    m.loc[sel, "doc_id"].to_numpy(dtype=np.int64),
+                    type=pa.int64(),
+                ),
+                "status": pa.array(status[sel], type=pa.string()),
+            }
+        )
+
+    out = (
+        both.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=min(nbuckets, 8))
+        .map_groups(diff, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:  # all-empty output loses its schema (sharp edge)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "status": pd.Series([], dtype="object"),
+            }
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -947,3 +947,22 @@ def test_split_leakage_planted(ray_session):
     )
     out = split_leakage(docs)
     assert list(out["doc_id"]) == [test_id]
+
+
+def test_snapshot_diff_statuses(ray_session):
+    from greenocr_ray.functions.corpus import snapshot_diff
+
+    a = rd.from_arrow(
+        _docs_table([(1, "same"), (2, "old"), (3, "gone"), (18, "same2")])
+    )
+    # 18 and 2 collide mod 16 with 2... 18 % 16 == 2: same bucket as 2
+    b = rd.from_arrow(
+        _docs_table([(1, "same"), (2, "new"), (4, "born"), (18, "same2")])
+    )
+    out = snapshot_diff(a, b)
+    got = dict(zip(out["doc_id"], out["status"]))
+    assert got == {2: "changed", 3: "removed", 4: "added"}
+
+    # identical snapshots -> typed empty frame
+    empty = snapshot_diff(a, a)
+    assert len(empty) == 0 and list(empty.columns) == ["doc_id", "status"]
