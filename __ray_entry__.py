@@ -787,6 +787,17 @@ def _q_approx_quantiles(sf_dir: str) -> Any:
     return approx_grouped_quantiles(ds)
 
 
+def _q_extract_entities(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.quality import extract_entities
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(extract_entities, batch_format="pyarrow")
+
+
 def _q_snapshot_diff(sf_dir: str) -> Any:
     import numpy as np
     import pyarrow as pa
@@ -1145,6 +1156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stopwords": _q_stopwords,
         "split_leakage": _q_split_leakage,
         "snapshot_diff": _q_snapshot_diff,
+        "extract_entities": _q_extract_entities,
         "value_histogram": _q_value_histogram,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
         "stratified_sample": _q_stratified_sample,
@@ -1854,6 +1866,17 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    TRUE AS within_bound
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "extract_entities": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS emails,
+                   CAST(len(regexp_extract_all(text,
+                     'https?://[^\s"''<>]+')) AS BIGINT) AS urls,
+                   CAST(len(regexp_extract_all(text,
+                     '\b\d+(?:\.\d+)?\b')) AS BIGINT) AS numbers
+            FROM documents ORDER BY doc_id
         """,
         "snapshot_diff": """
             WITH a AS (SELECT doc_id, text FROM documents),

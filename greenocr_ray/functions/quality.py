@@ -216,3 +216,30 @@ def inject_pii(batch: pd.DataFrame) -> pd.DataFrame:
         texts.append(" ".join(parts))
     out["text"] = texts
     return out[["doc_id", "text"]]
+
+
+# --------------------------------------------------- entity extraction
+
+# same RE2/Python-compatible discipline as PII_PATTERNS; url pattern
+# avoids trailing-punctuation ambiguity by stopping at whitespace/quote
+ENTITY_PATTERNS: list[tuple[str, str]] = [
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("urls", r"https?://[^\s\"'<>]+"),
+    ("numbers", r"\b\d+(?:\.\d+)?\b"),
+]
+
+
+def extract_entities(batch: pa.Table) -> pa.Table:
+    """Per-doc entity counts (emails, urls, numbers) — the
+    information-extraction scan shape. Fully Arrow-vectorized:
+    ``pc.count_substring_regex`` runs the same RE2 engine DuckDB's
+    ``regexp_extract_all`` uses, so counts agree by construction.
+    """
+    import pyarrow.compute as pc
+
+    cols = {"doc_id": batch.column("doc_id")}
+    for name, pat in ENTITY_PATTERNS:
+        cols[name] = pc.cast(
+            pc.count_substring_regex(batch.column("text"), pat), pa.int64()
+        )
+    return pa.table(cols)

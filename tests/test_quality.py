@@ -966,3 +966,24 @@ def test_snapshot_diff_statuses(ray_session):
     # identical snapshots -> typed empty frame
     empty = snapshot_diff(a, a)
     assert len(empty) == 0 and list(empty.columns) == ["doc_id", "status"]
+
+
+def test_extract_entities_counts():
+    from greenocr_ray.functions.quality import extract_entities
+
+    t = extract_entities(
+        _docs_table(
+            [
+                (1, "mail a@b.org and c.d+e@f-g.co.uk now"),
+                (2, 'see https://x.io/p?q=1 and http://y.com, "https://z.net"'),
+                (3, "pi is 3.14 and the year 2024; v1.2.3 has parts"),
+                (4, "nothing here"),
+            ]
+        )
+    ).to_pandas().set_index("doc_id")
+    assert t.loc[1, "emails"] == 2
+    assert t.loc[2, "urls"] == 3
+    # 3.14, 2024, then "2.3" from v1.2.3 ("v1" has no \b before the 1,
+    # so the scan first matches at the 2)
+    assert t.loc[3, "numbers"] == 3
+    assert t.loc[4, "emails"] == 0 and t.loc[4, "numbers"] == 0
