@@ -56,7 +56,30 @@ def scaling_main() -> None:
     # ~1.3x — an artifact a real N->4N NODE cluster (constant per-node
     # density) does not exhibit. Reporting both keeps the saturated
     # pair visible instead of selected away.
-    results = {n: run(n) for n in (4, 16, 8, 32)}
+    #
+    # GRAFT_SCALING_ABBA=1 runs the judged pair in ABBA order
+    # (4,16,16,4) and averages each leg's two runs: this box's
+    # throughput drifts over hours (identical code measured 1.5x
+    # apart), and a sequential lo-then-hi order converts linear drift
+    # straight into efficiency bias; ABBA cancels the linear term.
+    if os.environ.get("GRAFT_SCALING_ABBA") == "1":
+        order = [4, 16, 16, 4]
+    else:
+        order = [4, 16, 8, 32]
+    raw: dict[int, list[dict]] = {}
+    for n in order:
+        raw.setdefault(n, []).append(run(n))
+
+    def avg(n: int) -> dict:
+        rs = raw[n]
+        keys = ("value", "docs_per_sec", "streaming_sec")
+        out = dict(rs[0])
+        for k in keys:
+            if all(k in r for r in rs):
+                out[k] = round(sum(r[k] for r in rs) / len(rs), 3)
+        return out
+
+    results = {n: avg(n) for n in raw}
 
     def pair(lo: int, hi: int) -> dict:
         r_lo, r_hi = results[lo], results[hi]
@@ -80,16 +103,20 @@ def scaling_main() -> None:
         return out
 
     p_unsat = pair(4, 16)
-    p_sat = pair(8, 32)
+    pairs = [p_unsat]
+    if 32 in results:
+        pairs.append(pair(8, 32))
+    any_leg = results[max(results)]
     print(
         json.dumps(
             {
                 # primary (unsaturated) pair at the top level for
                 # compatibility with earlier records
                 **p_unsat,
-                "pairs": [p_unsat, p_sat],
-                "n_docs": results[32]["n_docs"],
-                "sf": results[32]["sf"],
+                "pairs": pairs,
+                "abba": os.environ.get("GRAFT_SCALING_ABBA") == "1",
+                "n_docs": any_leg["n_docs"],
+                "sf": any_leg["sf"],
             }
         )
     )
