@@ -787,6 +787,17 @@ def _q_approx_quantiles(sf_dir: str) -> Any:
     return approx_grouped_quantiles(ds)
 
 
+def _q_lexical_diversity(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.textstats import lexical_diversity
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(lexical_diversity, batch_format="pyarrow")
+
+
 def _q_extract_entities(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -1157,6 +1168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage": _q_split_leakage,
         "snapshot_diff": _q_snapshot_diff,
         "extract_entities": _q_extract_entities,
+        "lexical_diversity": _q_lexical_diversity,
         "value_histogram": _q_value_histogram,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
         "stratified_sample": _q_stratified_sample,
@@ -1866,6 +1878,30 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    TRUE AS within_bound
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "lexical_diversity": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+              FROM documents
+            ),
+            tc AS (
+              SELECT doc_id, tok, count(*) AS c FROM toks
+              GROUP BY doc_id, tok
+            ),
+            agg AS (
+              SELECT doc_id,
+                     sum(c) AS n,
+                     count(*) AS types,
+                     count(*) FILTER (WHERE c = 1) AS ones
+              FROM tc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(ROUND(a.types::DOUBLE / a.n, 6), 0.0) AS ttr,
+                   coalesce(ROUND(a.ones::DOUBLE / a.n, 6), 0.0)
+                     AS hapax_frac
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "extract_entities": r"""
             SELECT doc_id,

@@ -16,7 +16,10 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from .relational import round_half_away
+
 _WS_RE = re.compile(r" +")
+_WORD_RE = re.compile(r"\w+", re.ASCII)
 # BPE-ish tokenizer: word pieces, numbers, or single non-space symbols
 _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
 # ASCII-only \w to match the DuckDB/RE2 oracle (Python's default \w is
@@ -166,3 +169,34 @@ def langid_accuracy(docs: rd.Dataset) -> pd.DataFrame:
 
     parts = scored.map_batches(partial, batch_format="pandas")
     return combine_small_agg(parts, ["lang"], {"n_docs": "sum", "n_correct": "sum"})
+
+
+def lexical_diversity(batch: pa.Table) -> pa.Table:
+    """Per-doc type-token ratio and hapax fraction — the lexical-
+    diversity quality signals (low TTR flags boilerplate/spam, high
+    hapax flags OCR noise). Tokens are lowercase \\w+ (ASCII, matching
+    the RE2 oracle); ratios round half-away at 6 dp. Empty docs emit
+    0.0 for both (not null) so the filter contract stays total.
+    """
+    ids = batch.column("doc_id")
+    ttrs, hapax = [], []
+    for s in batch.column("text").to_pylist():
+        toks = _WORD_RE.findall(s.lower())
+        if not toks:
+            ttrs.append(0.0)
+            hapax.append(0.0)
+            continue
+        from collections import Counter
+
+        c = Counter(toks)
+        n = len(toks)
+        ttrs.append(float(round_half_away(len(c) / n, 6)))
+        ones = sum(1 for v in c.values() if v == 1)
+        hapax.append(float(round_half_away(ones / n, 6)))
+    return pa.table(
+        {
+            "doc_id": ids,
+            "ttr": pa.array(ttrs, type=pa.float64()),
+            "hapax_frac": pa.array(hapax, type=pa.float64()),
+        }
+    )

@@ -987,3 +987,22 @@ def test_extract_entities_counts():
     # so the scan first matches at the 2)
     assert t.loc[3, "numbers"] == 3
     assert t.loc[4, "emails"] == 0 and t.loc[4, "numbers"] == 0
+
+
+def test_lexical_diversity_values():
+    from greenocr_ray.functions.textstats import lexical_diversity
+
+    t = lexical_diversity(
+        _docs_table(
+            [
+                (1, "a a a a"),  # 1 type / 4 tokens, no hapax
+                (2, "w x y z"),  # all distinct, all hapax
+                (3, "a a b"),  # ttr 2/3, hapax 1/3
+                (4, ""),  # empty -> 0.0, not null
+            ]
+        )
+    ).to_pandas().set_index("doc_id")
+    assert t.loc[1, "ttr"] == 0.25 and t.loc[1, "hapax_frac"] == 0.0
+    assert t.loc[2, "ttr"] == 1.0 and t.loc[2, "hapax_frac"] == 1.0
+    assert t.loc[3, "ttr"] == 0.666667 and t.loc[3, "hapax_frac"] == 0.333333
+    assert t.loc[4, "ttr"] == 0.0 and t.loc[4, "hapax_frac"] == 0.0
