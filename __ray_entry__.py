@@ -787,6 +787,12 @@ def _q_approx_quantiles(sf_dir: str) -> Any:
     return approx_grouped_quantiles(ds)
 
 
+def _q_rollup_events(sf_dir: str) -> Any:
+    from greenocr_ray.functions.relational import q_rollup_events
+
+    return q_rollup_events(sf_dir)
+
+
 def _q_lexical_diversity(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -1169,6 +1175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         "extract_entities": _q_extract_entities,
         "lexical_diversity": _q_lexical_diversity,
+        "rollup_events": _q_rollup_events,
         "value_histogram": _q_value_histogram,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
         "stratified_sample": _q_stratified_sample,
@@ -1878,6 +1885,20 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    TRUE AS within_bound
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "rollup_events": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(day, -1) AS day,
+                   CAST(count(*) AS BIGINT) AS n,
+                   ROUND(sum(value), 4) AS total
+            FROM (
+              SELECT event_type,
+                     CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT)
+                       AS day,
+                     value
+              FROM events)
+            GROUP BY ROLLUP(event_type, day)
+            ORDER BY event_type, day
         """,
         "lexical_diversity": r"""
             WITH toks AS (

@@ -1176,3 +1176,51 @@ def bloom_contains(
         idx = _bloom_hash(keys, salt, m_bits)
         ok &= (bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
     return ok
+
+
+# ---------------------------------------------------- rollup aggregate
+
+
+def q_rollup_events(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(event_type, day): per-(type, day) aggregates
+    plus per-type subtotals plus the grand total — the OLAP rollup
+    shape. ONE streaming pass computes the finest level (per-batch
+    partials onto the bounded (type, day) key); the coarser levels
+    are derived from it on the driver by re-aggregating the tiny
+    result, never by re-reading the data. NULL group markers render
+    as 'ALL' / -1 so the output schema stays typed.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df["day"] = df["ts"].dt.floor("D").astype("int64") // 86_400_000_000
+        g = df.groupby(["event_type", "day"], sort=False)["value"].agg(
+            n="size", total="sum"
+        )
+        return g.reset_index()
+
+    base = combine_small_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type", "day"],
+        {"n": "sum", "total": "sum"},
+    )
+    sub = (
+        base.groupby("event_type", sort=False)
+        .agg(n=("n", "sum"), total=("total", "sum"))
+        .reset_index()
+    )
+    sub["day"] = -1
+    grand = pd.DataFrame(
+        {
+            "event_type": ["ALL"],
+            "day": [-1],
+            "n": [base["n"].sum()],
+            "total": [base["total"].sum()],
+        }
+    )
+    out = pd.concat([base, sub, grand], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out["day"] = out["day"].astype("int64")
+    out["total"] = round_half_away(out["total"], 4)
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)

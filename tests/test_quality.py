@@ -1006,3 +1006,34 @@ def test_lexical_diversity_values():
     assert t.loc[2, "ttr"] == 1.0 and t.loc[2, "hapax_frac"] == 1.0
     assert t.loc[3, "ttr"] == 0.666667 and t.loc[3, "hapax_frac"] == 0.333333
     assert t.loc[4, "ttr"] == 0.0 and t.loc[4, "hapax_frac"] == 0.0
+
+
+def test_rollup_events_levels(ray_session, tmp_path):
+    from greenocr_ray.functions.relational import q_rollup_events
+
+    d = tmp_path / "ru"
+    d.mkdir()
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    day = np.timedelta64(86400, "s")
+    _write(
+        d,
+        "events",
+        pa.table(
+            {
+                "event_type": ["click", "click", "view"],
+                "ts": pa.array(
+                    np.array([base, base + day, base], dtype="datetime64[us]")
+                ),
+                "value": [1.0, 2.0, 4.0],
+            }
+        ),
+    )
+    out = q_rollup_events(str(d))
+    rows = {(r.event_type, r.day): (r.n, r.total) for r in out.itertuples()}
+    d0 = 19723  # 2024-01-01 in epoch days
+    assert rows[("click", d0)] == (1, 1.0)
+    assert rows[("click", d0 + 1)] == (1, 2.0)
+    assert rows[("click", -1)] == (2, 3.0)  # per-type subtotal
+    assert rows[("view", -1)] == (1, 4.0)
+    assert rows[("ALL", -1)] == (3, 7.0)  # grand total
+    assert len(out) == 6
