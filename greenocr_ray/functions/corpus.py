@@ -21,7 +21,10 @@ import ray.data as rd
 
 from .relational import combine_small_agg, round_half_away
 
-_TOKEN_RE = re.compile(r"\w+")
+# ASCII-only \w to match the DuckDB/RE2 oracle tokenizer exactly
+# (Python \w is Unicode-aware: 'café' vs RE2's ['caf']); textstats.py
+# uses the same flag for the same reason.
+_TOKEN_RE = re.compile(r"\w+", re.ASCII)
 
 # ----------------------------------------------------- train/test split
 
@@ -791,155 +794,241 @@ def dup_ngram_stats(
 # -------------------------------------------------------------- tf-idf
 
 
-def tfidf_top_terms(docs: rd.Dataset, k: int = 3) -> pd.DataFrame:
-    """Per-doc top-k terms by TF-IDF (idf = ln(N/df), ties on
-    ascending term).
-
-    Two passes: (1) document frequencies — per-batch partial
-    (term, df) counts folded on the driver below the band-row limit,
-    genuine hash shuffle above (vocab-bounded, megabytes at crawl
-    scale); the idf map broadcasts via ``ray.put``. (2) per-doc term
-    frequencies + scoring inside map_batches, emitting only k rows per
-    doc. -> (doc_id, term, tfidf) rows."""
-    import ray
+def _tf_rows(t: pa.Table, nbuckets: int) -> pa.Table:
+    """Per-batch (bucket, term, doc_id, tf) rows: one row per distinct
+    (doc, term) pair, bucketed by a stable term hash (crc32 — NOT
+    Python hash(), which is salted per process). The full tf row
+    stream is token-scale (bounded by total distinct (doc,term)
+    pairs), the same exchange volume class as dup_ngram_stats' gram
+    rows; nothing vocabulary- or corpus-scale ever folds on the
+    driver."""
+    import zlib
 
     from collections import Counter
 
-    def tokenize(s: str) -> list[str]:
-        return _TOKEN_RE.findall(s.lower())
+    bucket_cache: dict[str, int] = {}
+    ids, terms, tfs, buckets = [], [], [], []
+    for did, s in zip(
+        t.column("doc_id").to_pylist(),
+        pc.utf8_lower(t.column("text")).to_pylist(),
+    ):
+        for w, c in Counter(_TOKEN_RE.findall(s)).items():
+            b = bucket_cache.get(w)
+            if b is None:
+                b = zlib.crc32(w.encode("utf-8")) % nbuckets
+                bucket_cache[w] = b
+            ids.append(did)
+            terms.append(w)
+            tfs.append(c)
+            buckets.append(b)
+    return pa.table(
+        {
+            "bucket": pa.array(buckets, type=pa.int32()),
+            "term": pa.array(terms, type=pa.string()),
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "tf": pa.array(tfs, type=pa.int64()),
+        }
+    )
 
-    def df_partial(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for s in t.column("text").to_pylist():
-            c.update(set(tokenize(s)))
-        return pa.table(
+
+def tfidf_top_terms(
+    docs: rd.Dataset, k: int = 3, nbuckets: int = 32
+) -> pd.DataFrame:
+    """Per-doc top-k terms by TF-IDF (idf = ln(N/df), ties on
+    ascending term) — end-to-end distributed, NO vocabulary-scale
+    driver state.
+
+    One tokenization pass emits (bucket, term, doc_id, tf) rows; a
+    bucketed term groupby computes exact document frequencies inside
+    each bucket task (a term's rows all land in its hash bucket),
+    scores tf·ln(N/df) vectorized, and prunes to each doc's per-bucket
+    top-k (the global top-k is a subset of the union of per-bucket
+    top-k's). A second, sort-based doc_id groupby folds the ≤
+    k·nbuckets candidate rows per doc to the global top-k. The driver
+    only collects the final k·N_docs output frame (the oracle
+    contract); at crawl scale call ``tfidf_top_terms_ds`` and keep the
+    result distributed."""
+    res = tfidf_top_terms_ds(docs, k=k, nbuckets=nbuckets)
+    out = (
+        res.to_pandas()
+        if res is not None
+        else pd.DataFrame(
             {
-                "term": pa.array(list(c.keys()), type=pa.string()),
-                "df": pa.array(list(c.values()), type=pa.int64()),
+                "doc_id": pd.Series([], dtype="int64"),
+                "term": pd.Series([], dtype="object"),
+                "tfidf_raw": pd.Series([], dtype="float64"),
             }
         )
-
-    parts = docs.map_batches(df_partial, batch_format="pyarrow").materialize()
-    n_docs = docs.count()
-    if parts.count() <= 5_000_000:
-        dfs = parts.to_pandas().groupby("term")["df"].sum()
-    else:  # vocab-scale shuffle path
-        from ray.data.aggregate import Sum
-
-        dfs = (
-            parts.groupby("term")
-            .aggregate(Sum("df", alias_name="df"))
-            .to_pandas()
-            .set_index("term")["df"]
-        )
-    idf = {t: float(np.log(n_docs / d)) for t, d in dfs.items()}
-    idf_ref = ray.put(idf)
-
-    def score(t: pa.Table) -> pa.Table:
-        idf_map = ray.get(idf_ref)
-        out_d, out_t, out_s = [], [], []
-        for did, s in zip(
-            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
-        ):
-            tf = Counter(tokenize(s))
-            scored = sorted(
-                ((c * idf_map.get(w, 0.0), w) for w, c in tf.items()),
-                key=lambda x: (-x[0], x[1]),
-            )[:k]
-            for sc, w in scored:
-                out_d.append(did)
-                out_t.append(w)
-                out_s.append(sc)
-        return pa.table(
-            {
-                "doc_id": pa.array(out_d, type=pa.int64()),
-                "term": pa.array(out_t, type=pa.string()),
-                "tfidf_raw": pa.array(out_s, type=pa.float64()),
-            }
-        )
-
-    out = docs.map_batches(score, batch_format="pyarrow").to_pandas()
-    # order by the RAW score (the oracle ranks via row_number over the
-    # unrounded expression); round only for output — two terms whose raw
-    # scores differ but round equal must keep the raw rank order
-    out = out.sort_values(["doc_id", "tfidf_raw", "term"],
-                          ascending=[True, False, True]).reset_index(drop=True)
+    )
+    out = out.sort_values(
+        ["doc_id", "tfidf_raw", "term"], ascending=[True, False, True]
+    ).reset_index(drop=True)
     out["tfidf"] = round_half_away(out["tfidf_raw"], 6)
     return out[["doc_id", "term", "tfidf"]]
+
+
+def tfidf_top_terms_ds(
+    docs: rd.Dataset, k: int = 3, nbuckets: int = 32
+) -> rd.Dataset | None:
+    """Distributed core of :func:`tfidf_top_terms`; returns a Dataset
+    of (doc_id, term, tfidf_raw) — k rows per doc, UNROUNDED scores
+    (the oracle ranks on the raw expression; round at the edge) — or
+    ``None`` when the corpus has no tokens at all."""
+    n_docs = docs.count()
+
+    def score_bucket(g: pd.DataFrame) -> pa.Table:
+        # exact global df per term: every row of a term is in this
+        # bucket, so a within-bucket distinct-doc count is the true df
+        df = g.groupby("term", sort=False)["doc_id"].nunique()
+        idf = np.log(float(n_docs) / df)
+        s = g["tf"].to_numpy(dtype=np.float64) * idf.reindex(
+            g["term"]
+        ).to_numpy(dtype=np.float64)
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                "term": g["term"].to_numpy(),
+                "tfidf_raw": s,
+            }
+        )
+        # per-bucket prune: a doc's global top-k is a subset of the
+        # union of its per-bucket top-k's (scores are per-(doc,term);
+        # deterministic tie-break matches the oracle's row_number)
+        out = (
+            out.sort_values(
+                ["doc_id", "tfidf_raw", "term"],
+                ascending=[True, False, True],
+            )
+            .groupby("doc_id", sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def topk_doc(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["tfidf_raw", "term"], ascending=[False, True]
+        ).head(k)
+
+    from ..rayutil import drop_empty_blocks
+
+    pruned = (
+        docs.map_batches(
+            lambda t: _tf_rows(t, nbuckets), batch_format="pyarrow"
+        )
+        .groupby("bucket", num_partitions=min(nbuckets, 8))
+        .map_groups(score_bucket, batch_format="pandas")
+        # plan break before the second shuffle (the dup_ngram_stats
+        # pattern): empty hash partitions emit schema-less blocks that
+        # poison the next shuffle's key sort, and >1 HashShuffle in
+        # one plan deadlocks small clusters (Ray 2.49.2). Bounded:
+        # ≤ k·nbuckets candidate rows per doc, 3 small columns.
+        .materialize()
+    )
+    if pruned.count() == 0:  # all-empty corpus: no scorable rows
+        return None
+    return drop_empty_blocks(pruned).groupby("doc_id").map_groups(
+        topk_doc, batch_format="pandas"
+    )
 
 
 # ------------------------------------------------------ stratified sample
 
 
-def unigram_logprob(docs: rd.Dataset) -> pd.DataFrame:
+def unigram_logprob(docs: rd.Dataset, nbuckets: int = 32) -> pd.DataFrame:
     """Per-doc mean unigram log-probability under the corpus's own
     unigram LM — the classic perplexity-style quality score (low mean
-    logprob = rare-token-heavy / junk text).
+    logprob = rare-token-heavy / junk text). End-to-end distributed,
+    NO vocabulary-scale driver state.
 
-    Two passes, mirroring tfidf_top_terms' shape: (1) global term
-    counts via per-batch Counter partials (vocab-bounded; adaptive
-    driver fold / hash shuffle), log-probs broadcast once via
-    ``ray.put``; (2) a streaming per-doc scoring pass. OOV cannot
+    Key identity: avg_logprob = (Σ_t tf·ln c_t)/n_tokens − ln(total),
+    so the per-term log-count partials can fold inside term-hash
+    buckets WITHOUT knowing the global total. One tokenization pass
+    emits (bucket, term, doc_id, tf) rows (shared with tf-idf); each
+    bucket task computes exact global term counts c_t (all of a term's
+    rows land in its bucket), then per-doc partials
+    (Σ tf·ln c_t, Σ tf); a sort-based doc_id groupby folds the ≤
+    nbuckets partial rows per doc; ln(total) is a scalar from a
+    vectorized count pass and is subtracted at the edge. OOV cannot
     occur (the LM is fit on the same corpus). Zero-token docs emit no
     row, matching the oracle's inner join.
     -> (doc_id, n_tokens, avg_logprob) rows."""
-    import ray
 
-    from collections import Counter
+    # global token total: vectorized regex count (RE2 ASCII \\w ==
+    # _TOKEN_RE with re.ASCII), one scalar on the driver
+    def tok_count(t: pa.Table) -> pa.Table:
+        n = pc.sum(
+            pc.count_substring_regex(t.column("text"), r"\w+")
+        ).as_py()
+        return pa.table({"n": pa.array([n or 0], type=pa.int64())})
 
-    def tokenize(s: str) -> list[str]:
-        return _TOKEN_RE.findall(s.lower())
+    from ray.data.aggregate import Sum
 
-    def count_partial(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for s in t.column("text").to_pylist():
-            c.update(tokenize(s))
-        return pa.table(
+    total = float(
+        docs.map_batches(tok_count, batch_format="pyarrow").aggregate(
+            Sum("n", alias_name="n")
+        )["n"]
+    )
+    log_total = float(np.log(total)) if total > 0 else 0.0
+
+    def bucket_partial(g: pd.DataFrame) -> pa.Table:
+        cnt = g.groupby("term", sort=False)["tf"].sum()
+        logc = np.log(cnt.to_numpy(dtype=np.float64))
+        contrib = g["tf"].to_numpy(dtype=np.float64) * pd.Series(
+            logc, index=cnt.index
+        ).reindex(g["term"]).to_numpy(dtype=np.float64)
+        part = (
+            pd.DataFrame(
+                {
+                    "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                    "n_tok": g["tf"].to_numpy(dtype=np.int64),
+                    "logsum": contrib,
+                }
+            )
+            .groupby("doc_id", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    def fold_doc(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
             {
-                "term": pa.array(list(c.keys()), type=pa.string()),
-                "c": pa.array(list(c.values()), type=pa.int64()),
+                "doc_id": [int(g["doc_id"].iloc[0])],
+                "n_tokens": [int(g["n_tok"].sum())],
+                "logsum": [float(g["logsum"].sum())],
             }
         )
 
-    parts = docs.map_batches(count_partial, batch_format="pyarrow").materialize()
-    if parts.count() <= 5_000_000:
-        counts = parts.to_pandas().groupby("term")["c"].sum()
-    else:  # vocab-scale shuffle path
-        from ray.data.aggregate import Sum
+    from ..rayutil import drop_empty_blocks
 
-        counts = (
-            parts.groupby("term")
-            .aggregate(Sum("c", alias_name="c"))
-            .to_pandas()
-            .set_index("term")["c"]
+    parts = (
+        docs.map_batches(
+            lambda t: _tf_rows(t, nbuckets), batch_format="pyarrow"
         )
-    total = float(counts.sum())
-    logp = {t: float(np.log(c / total)) for t, c in counts.items()}
-    logp_ref = ray.put(logp)
-
-    def score(t: pa.Table) -> pa.Table:
-        lp = ray.get(logp_ref)
-        out_d, out_n, out_s = [], [], []
-        for did, s in zip(
-            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
-        ):
-            toks = tokenize(s)
-            if not toks:
-                continue
-            out_d.append(did)
-            out_n.append(len(toks))
-            out_s.append(float(np.mean([lp[w] for w in toks])))
-        return pa.table(
+        .groupby("bucket", num_partitions=min(nbuckets, 8))
+        .map_groups(bucket_partial, batch_format="pandas")
+        # plan break before the second shuffle (see tfidf_top_terms_ds
+        # note). Bounded: ≤ nbuckets partial rows per doc.
+        .materialize()
+    )
+    if parts.count() == 0:  # all-empty corpus: no token rows at all
+        return pd.DataFrame(
             {
-                "doc_id": pa.array(out_d, type=pa.int64()),
-                "n_tokens": pa.array(out_n, type=pa.int64()),
-                "avg_logprob_raw": pa.array(out_s, type=pa.float64()),
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "avg_logprob": pd.Series([], dtype="float64"),
             }
         )
-
-    out = docs.map_batches(score, batch_format="pyarrow").to_pandas()
-    out["avg_logprob"] = round_half_away(out["avg_logprob_raw"], 6)
+    folded = (
+        drop_empty_blocks(parts)
+        .groupby("doc_id")
+        .map_groups(fold_doc, batch_format="pandas")
+    )
+    out = folded.to_pandas()
+    raw = out["logsum"].to_numpy() / out["n_tokens"].to_numpy() - log_total
+    out["avg_logprob"] = round_half_away(raw, 6)
     out = out.sort_values("doc_id").reset_index(drop=True)
+    out["n_tokens"] = out["n_tokens"].astype("int64")
     return out[["doc_id", "n_tokens", "avg_logprob"]]
 
 
@@ -1386,10 +1475,12 @@ def top_tokens_per_group(
             b.column("c").to_pylist(),
         ):
             merged.setdefault(g, Counter())[tk] += c
-    cand = {
-        g: frozenset(t for t, _ in cnt.most_common(capacity))
-        for g, cnt in merged.items()
-    }
+    # keep EVERY merged MG survivor as a candidate (as top_tokens
+    # does): most_common(capacity) breaks ties at the cutoff by
+    # Counter insertion order (block-order dependent), which could
+    # drop a true top-k token nondeterministically. Bounded:
+    # capacity x blocks per group, and the recount pass filters.
+    cand = {g: frozenset(cnt.keys()) for g, cnt in merged.items()}
     cand_ref = ray.put(cand)
 
     def recount(t: pa.Table) -> pa.Table:
@@ -1534,13 +1625,14 @@ def value_histogram(events: rd.Dataset, bins: int = 20) -> pd.DataFrame:
 # --------------------------------------------------- split leakage
 
 
-def split_leakage(docs: rd.Dataset, nbuckets: int = 16) -> rd.Dataset:
+def split_leakage(docs: rd.Dataset, nbuckets: int = 16) -> pd.DataFrame:
     """Eval-hygiene check: test-split docs whose exact text also
     appears in the train split (the leakage exact-dedup should have
     removed). Per-batch partials emit (text_md5, split_flags, doc_id)
     rows; one bucketed groupby (md5-bit buckets, per-gram-style
     vectorized inside) finds text groups containing BOTH splits and
-    emits the test-side doc_ids. Output is leakage-bounded; nothing
+    emits the test-side doc_ids. Returns a small pandas DataFrame:
+    the output is leakage-bounded (usually near-empty); nothing
     corpus-sized leaves the workers.
     """
 

@@ -1194,7 +1194,13 @@ def q_rollup_events(sf_dir: str) -> pd.DataFrame:
 
     def partial(t: pa.Table) -> pd.DataFrame:
         df = t.to_pandas()
-        df["day"] = df["ts"].dt.floor("D").astype("int64") // 86_400_000_000
+        # explicit us cast: under ns coercion (older pyarrow or
+        # coerce_temporal_nanoseconds) the raw int64 is nanoseconds
+        # and day values would silently be 1000x too large
+        df["day"] = (
+            df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            // 86_400_000_000
+        )
         g = df.groupby(["event_type", "day"], sort=False)["value"].agg(
             n="size", total="sum"
         )

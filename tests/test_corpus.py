@@ -224,3 +224,85 @@ def test_bm25_partial_topk_bounds_driver_rows(ray_session):
     params = ray.put(({"data": 1.0}, 5.0))
     hits = _bm25_hits(ds, params, 1.5, 0.75, k)
     assert hits.count() <= 3 * k
+
+
+def _big_vocab_docs(n_docs: int = 120, terms_per_doc: int = 40):
+    """Synthetic corpus whose vocabulary (~n_docs*terms_per_doc unique
+    terms) vastly exceeds any sane broadcast cap, plus a few shared
+    terms so df > 1 paths are exercised."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    rows = []
+    for d in range(n_docs):
+        uniq = [f"w{d}x{j}" for j in range(terms_per_doc)]
+        shared = ["common"] * int(rng.integers(1, 4)) + ["semi"] * int(
+            d % 3 == 0
+        )
+        rows.append((d, " ".join(uniq + shared)))
+    return rows
+
+
+def test_tfidf_distributed_no_vocab_broadcast(ray_session):
+    """The term fold must be distributed: no driver-side ray.put of a
+    vocabulary-scale dict (the round-3 scale-killer), and results must
+    match a brute-force on a corpus with vocab >> any broadcast cap."""
+    import ray as _ray
+
+    from greenocr_ray.functions.corpus import tfidf_top_terms, unigram_logprob
+
+    rows = _big_vocab_docs()
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": [r[1] for r in rows],
+            }
+        )
+    )
+
+    MAX_BROADCAST_TERMS = 64
+    big_puts = []
+    orig_put = _ray.put
+
+    def spy_put(obj, *a, **kw):
+        if isinstance(obj, (dict, set, frozenset)) and len(obj) > MAX_BROADCAST_TERMS:
+            big_puts.append(len(obj))
+        return orig_put(obj, *a, **kw)
+
+    _ray.put = spy_put
+    try:
+        out_tfidf = tfidf_top_terms(ds, k=2)
+        out_lm = unigram_logprob(ds)
+    finally:
+        _ray.put = orig_put
+    assert big_puts == [], f"vocab-scale driver broadcast detected: {big_puts}"
+
+    # brute-force reference (driver-side, test-only)
+    import re as _re
+    from collections import Counter
+
+    tok = _re.compile(r"\w+", _re.ASCII)
+    docs = {d: tok.findall(t.lower()) for d, t in rows}
+    n = len(docs)
+    df = Counter()
+    for ws in docs.values():
+        df.update(set(ws))
+    want_top = {}
+    for d, ws in docs.items():
+        tf = Counter(ws)
+        scored = sorted(
+            ((c * np.log(n / df[w]), w) for w, c in tf.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        want_top[d] = [w for _, w in scored]
+    got = out_tfidf.groupby("doc_id")["term"].apply(list).to_dict()
+    assert got == want_top
+
+    total = sum(len(ws) for ws in docs.values())
+    cnt = Counter()
+    for ws in docs.values():
+        cnt.update(ws)
+    lm = out_lm.set_index("doc_id")
+    for d, ws in docs.items():
+        want = np.mean([np.log(cnt[w] / total) for w in ws])
+        assert abs(lm.loc[d, "avg_logprob"] - want) < 1e-5
+        assert lm.loc[d, "n_tokens"] == len(ws)
