@@ -235,18 +235,19 @@ def _bucket_partition(b: int, num_partitions: int) -> int:
     return hash((arr[0],)) % num_partitions
 
 
-def _assembly_sentinels(n_parts: int) -> pa.Table:
-    """One typed sentinel span row per hash partition of the assembly
-    shuffle. Why: Ray 2.49.2's hash shuffle broadcasts the schema of
-    whichever block shuffles FIRST; schema-less empties (from empty
-    join partitions, unfixable in-stream because map_batches skips
-    empty blocks) poison empty TARGET partitions, whose map_groups
-    then emits more schema-less blocks — and an all-poisoned partition
-    crashes the aggregator finalize key-sort (intermittent). With a
-    sentinel pinned to every partition, no target partition is ever
-    empty: every assemble fn call sees real rows and returns a TYPED
-    table, removing both the crash and the need for the round-2
-    materialize + drop_empty_blocks barrier."""
+def _span_sentinels(n_parts: int, key: str) -> pa.Table:
+    """One typed sentinel span row per hash partition of a doc-bucket
+    shuffle (key column ``key``: '_db' for streaming assembly,
+    'part_id' for the checkpointed writer). Why: Ray 2.49.2's hash
+    shuffle broadcasts the schema of whichever block shuffles FIRST;
+    schema-less empties (from empty join partitions, unfixable
+    in-stream because map_batches skips empty blocks) poison empty
+    TARGET partitions, whose map_groups then emits more schema-less
+    blocks — and an all-poisoned partition crashes the aggregator
+    finalize key-sort (intermittent). With a sentinel pinned to every
+    partition, no target partition is ever empty: every group fn call
+    sees real rows and returns a TYPED table, removing both the crash
+    and the need for a materialize + drop_empty_blocks barrier."""
     buckets: list[int] = []
     covered: set[int] = set()
     for b in range(n_parts):  # every real bucket value 0..n_parts-1
@@ -268,7 +269,7 @@ def _assembly_sentinels(n_parts: int) -> pa.Table:
             "text": pa.array([""] * n, type=pa.string()),
             "media_ref": pa.array([""] * n, type=pa.string()),
             "confidence": pa.array([0.0] * n, type=pa.float64()),
-            "_db": pa.array(buckets, type=pa.int32()),
+            key: pa.array(buckets, type=pa.int32()),
         }
     )
 
@@ -277,18 +278,15 @@ def _assemble_streaming(flat: rd.Dataset, n_parts: int) -> rd.Dataset:
     """Reassemble flat span rows per doc WITHOUT a materialize barrier:
     group on an explicit int32 doc-bucket column (crc32(doc_id) mod
     n_parts) so sentinel rows can be pinned one-per-partition (see
-    _assembly_sentinels), and return TYPED arrow from every group."""
-    import zlib
-
+    _span_sentinels), and return TYPED arrow from every group."""
     from ..schema import EXTRACTED_SCHEMA
 
     spans_type = EXTRACTED_SCHEMA.field("spans").type
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        b = [
-            zlib.crc32(d.encode()) % n_parts
-            for d in t.column("doc_id").to_pylist()
-        ]
+        from ..rayutil import crc32_of_strings
+
+        b = (crc32_of_strings(t.column("doc_id")) % n_parts).astype(np.int32)
         return t.append_column("_db", pa.array(b, type=pa.int32()))
 
     def assemble_typed(g: pd.DataFrame) -> pa.Table:
@@ -306,19 +304,10 @@ def _assemble_streaming(flat: rd.Dataset, n_parts: int) -> rd.Dataset:
 
     return (
         flat.map_batches(add_bucket, batch_format="pyarrow")
-        .union(rd.from_arrow(_assembly_sentinels(n_parts)))
+        .union(rd.from_arrow(_span_sentinels(n_parts, "_db")))
         .groupby("_db", num_partitions=n_parts)
         .map_groups(assemble_typed, batch_format="pandas")
     )
-
-
-def _hash_groupby_safe(out: rd.Dataset) -> rd.Dataset:
-    """Stage flat span output so the hash-shuffle groupby sees only
-    well-schemaed blocks (Ray 2.49.2 schema-broadcast race; empties
-    come from empty join partitions). Text-only, ≈ output size."""
-    from ..rayutil import drop_empty_blocks
-
-    return drop_empty_blocks(out.materialize())
 
 
 # resume-economy regime bounds: below MIN_DONE_FRACTION of completed
@@ -384,12 +373,13 @@ def _semi_join_media(
     actor pools plus the OCR pool contend for the same slots, observed
     on Ray 2.49.2 at num_cpus=4). Duplicate refs collapse inside the
     group, so no separate distinct pass is needed."""
-    import zlib
+    from ..rayutil import crc32_of_strings
 
     def tag(side: str):
         def fn(t: pa.Table) -> pa.Table:
-            refs = t.column("media_ref").to_pylist()
-            buckets = [zlib.crc32(r.encode()) % nbuckets for r in refs]
+            buckets = (
+                crc32_of_strings(t.column("media_ref")) % nbuckets
+            ).astype(np.int32)
             out = t.append_column(
                 "_bucket", pa.array(buckets, type=pa.int32())
             )
@@ -465,7 +455,7 @@ def run_extraction(
         n_parts = opts.n_parts
 
         def drop_done(t: pa.Table) -> pa.Table:
-            pids = partition_ids(t.column("doc_id").to_pylist(), n_parts)
+            pids = partition_ids(t.column("doc_id"), n_parts)
             keep = pa.array([int(p) not in done_set for p in pids])
             return t.filter(keep)
 
@@ -477,12 +467,21 @@ def run_extraction(
     n_parts = opts.n_parts
 
     def add_part_id(t: pa.Table) -> pa.Table:
-        pids = partition_ids(t.column("doc_id").to_pylist(), n_parts)
+        pids = partition_ids(t.column("doc_id"), n_parts)
         return t.append_column("part_id", pa.array(pids, type=pa.int32()))
 
-    out = _hash_groupby_safe(out.map_batches(add_part_id, batch_format="pyarrow"))
+    # ONE streaming plan end-to-end (the round-3 materialize barrier is
+    # gone): typed sentinels pin every hash partition of the part_id
+    # shuffle, exactly like the streaming assembly path, so no target
+    # partition is ever empty/schema-less. PartitionWriter drops the
+    # sentinel rows and skips sentinel-only groups (done partitions,
+    # covering-only part_id values >= n_parts).
+    out = out.map_batches(add_part_id, batch_format="pyarrow").union(
+        rd.from_arrow(_span_sentinels(n_parts, "part_id"))
+    )
     lineage = out.groupby("part_id", num_partitions=opts.n_parts).map_groups(
-        PartitionWriter(out_dir), batch_format="pandas"
+        PartitionWriter(out_dir, sentinel_doc=_SENTINEL_ASSEMBLY_DOC),
+        batch_format="pandas",
     )
     df = lineage.to_pandas()
     # zero groups (e.g. remaining docs all hashed to done partitions)

@@ -14,15 +14,15 @@ Primary path: ``Dataset.join`` (hash shuffle, Ray >= 2.46). Fallback
 
 from __future__ import annotations
 
-import zlib
-
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
 
-def _crc_bucket(vals: list[str], nbuckets: int) -> list[int]:
-    return [zlib.crc32(v.encode()) % nbuckets for v in vals]
+def _crc_bucket(vals, nbuckets: int) -> list[int]:
+    from ..rayutil import crc32_of_strings
+
+    return list(crc32_of_strings(vals) % nbuckets)
 
 
 def join_media_payloads(

@@ -52,10 +52,14 @@ def partition_id(doc_id: str, n_parts: int) -> int:
     return zlib.crc32(doc_id.encode()) % n_parts
 
 
-def partition_ids(doc_ids: list[str], n_parts: int) -> np.ndarray:
-    return np.array(
-        [zlib.crc32(d.encode()) % n_parts for d in doc_ids], dtype=np.int32
-    )
+def partition_ids(doc_ids, n_parts: int) -> np.ndarray:
+    """Vectorized partitioner over an Arrow string array / chunked
+    array / list of doc_ids — bit-identical to :func:`partition_id`
+    per row (same crc32), computed with the table-driven numpy CRC so
+    the hot span path never loops rows in Python."""
+    from ..rayutil import crc32_of_strings
+
+    return (crc32_of_strings(doc_ids) % n_parts).astype(np.int32)
 
 
 def check_run_meta(out_dir: str, n_parts: int) -> None:
@@ -106,19 +110,48 @@ def read_lineage(out_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def _empty_lineage_typed() -> pd.DataFrame:
+    """Zero-row lineage frame with the dtypes a real record produces,
+    so sentinel-only map_groups outputs concat cleanly with 1-row
+    record frames (object-dtype empties would clash at Arrow
+    conversion)."""
+    return pd.DataFrame(
+        {
+            "partition_id": pd.Series([], dtype="int64"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "n_spans": pd.Series([], dtype="int64"),
+            "n_media": pd.Series([], dtype="int64"),
+            "wall_ms": pd.Series([], dtype="float64"),
+            "spans_per_sec": pd.Series([], dtype="float64"),
+            "mean_confidence": pd.Series([], dtype="float64"),
+            "status": pd.Series([], dtype="object"),
+        }
+    )
+
+
 class PartitionWriter:
     """map_groups fn over part_id groups: assemble docs, write the
     partition file atomically, then the lineage record; returns the
-    lineage row as the group result."""
+    lineage row as the group result. ``sentinel_doc`` rows (typed
+    shuffle sentinels pinned one-per-hash-partition upstream) are
+    dropped first; a sentinel-only group (an already-done partition,
+    or a covering-only part_id value >= n_parts) writes NOTHING and
+    returns an empty typed frame — never clobbering a done
+    partition's output."""
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, sentinel_doc: str | None = None):
         self.out_dir = out_dir
+        self.sentinel_doc = sentinel_doc
         self.__name__ = "PartitionWriter"  # map_groups wants a fn-like name
         os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
         from ..stages.explode import assemble_docs
 
+        if self.sentinel_doc is not None:
+            g = g[g["doc_id"] != self.sentinel_doc]
+            if not len(g):
+                return _empty_lineage_typed()
         t0 = time.monotonic()
         pid = int(g["part_id"].iloc[0])
         doc_ids, span_lists, confs = assemble_docs(g)

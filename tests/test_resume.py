@@ -169,3 +169,28 @@ def test_semi_join_preserves_types_and_null_dims(ray_session):
     assert got.column("media_ref").to_pylist() == ["m0", "m1", "m2"]
     assert got.column("width").to_pylist() == [10, None, 12]
     assert got.column("pixels").to_pylist()[1] is None
+
+
+def test_fresh_run_is_one_streaming_plan(tmp_path, monkeypatch):
+    """The checkpointed path must stream end-to-end: a fresh
+    run_extraction never calls Dataset.materialize (the round-3
+    barrier), relying on typed part_id sentinels instead."""
+    import ray.data as rd
+
+    data_dir = str(tmp_path / "data")
+    paths = write_corpus(data_dir, n_docs=12, seed=5)
+    opts = ExtractOptions(n_parts=4, join_partitions=2, ocr_concurrency=(1, 2))
+
+    calls = []
+    orig = rd.Dataset.materialize
+
+    def spy(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(rd.Dataset, "materialize", spy)
+    out = str(tmp_path / "run")
+    lin = run_extraction(paths["documents"], paths["media"], out, opts)
+    assert calls == [], "materialize barrier reappeared in run_extraction"
+    assert (lin["status"] == "done").all()
+    assert len(_read_all_parts(out)) == 12
