@@ -658,8 +658,6 @@ def dup_ngram_stats(
     """
     from ray.data.aggregate import Sum
 
-    from ..rayutil import drop_empty_blocks
-
     def totals(t: pa.Table) -> pa.Table:
         ntok = pc.cast(
             pc.count_substring_regex(pc.utf8_lower(t.column("text")), r"\w+"),
@@ -743,35 +741,64 @@ def dup_ngram_stats(
     def bucket_dup(g: pd.DataFrame) -> pa.Table:
         tot = g.groupby(["h1", "h2"], sort=False)["c"].transform("sum")
         sel = g.loc[tot.to_numpy() >= 2]
+        # fold the per-doc dup sum INSIDE the gram bucket: output is
+        # ≤ one row per (doc, bucket) instead of per duplicated
+        # (gram, doc) pair, so the doc_id shuffle moves a bounded
+        # stream even on a heavily duplicated crawl
+        per_doc = sel.groupby("doc_id", sort=False)["c"].sum()
+        if not len(per_doc):
+            # typed CARRIER row for sentinel-only/dup-free groups
+            # (doc_id -1, filtered in finish); a 0-row block would
+            # poison the downstream shuffle (Ray 2.49.2 drops empty
+            # blocks' schemas)
+            per_doc = pd.Series([0], index=pd.Index([-1], name="doc_id"))
+        n = len(per_doc)
         return pa.table(
             {
                 "doc_id": pa.array(
-                    sel["doc_id"].to_numpy(dtype=np.int64), type=pa.int64()
+                    per_doc.index.to_numpy(dtype=np.int64), type=pa.int64()
                 ),
                 "n_grams": pa.array(
-                    np.zeros(len(sel), dtype=np.int64), type=pa.int64()
+                    np.zeros(n, dtype=np.int64), type=pa.int64()
                 ),
                 "n_dup_grams": pa.array(
-                    sel["c"].to_numpy(dtype=np.int64), type=pa.int64()
+                    per_doc.to_numpy(dtype=np.int64), type=pa.int64()
                 ),
             }
         )
 
+    from ..rayutil import covering_bucket_values
+
+    num_partitions = min(nbuckets, 8)
+    svals = covering_bucket_values(nbuckets, num_partitions)
+    gram_sentinels = pa.table(
+        {
+            # unique (h1,h2) per sentinel: each gram occurs once, so
+            # the >=2 duplicate filter always drops them
+            "h1": pa.array(
+                [np.uint64(1 << 63) + np.uint64(i) for i in range(len(svals))],
+                type=pa.uint64(),
+            ),
+            "h2": pa.array(
+                [np.uint64(i) for i in range(len(svals))], type=pa.uint64()
+            ),
+            "bucket": pa.array(svals, type=pa.int32()),
+            "doc_id": pa.array([-1] * len(svals), type=pa.int64()),
+            "c": pa.array([1] * len(svals), type=pa.int64()),
+        }
+    )
+    # ONE streaming plan (the round-3 bounded materialize is gone):
+    # typed sentinels pin every hash partition of the gram shuffle
     dup = (
         docs.map_batches(gram_partial, batch_format="pyarrow")
-        .groupby("bucket", num_partitions=min(nbuckets, 8))
+        .union(rd.from_arrow(gram_sentinels))
+        .groupby("bucket", num_partitions=num_partitions)
         .map_groups(bucket_dup, batch_format="pandas")
-        # break the plan: the per-doc fold below adds a second hash
-        # shuffle, and >1 HashShuffleOperator in one streaming plan
-        # deadlocks small clusters (Ray 2.49.2). Bounded: <= one row
-        # per duplicated (gram, doc) pair.
-        .materialize()
     )
-    both = docs.map_batches(totals, batch_format="pyarrow").union(
-        drop_empty_blocks(dup)
-    )
+    both = docs.map_batches(totals, batch_format="pyarrow").union(dup)
 
     def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("doc_id"), 0))
         ng = t.column("sum(n_grams)").to_numpy(zero_copy_only=False)
         nd = t.column("sum(n_dup_grams)").to_numpy(zero_copy_only=False)
         ratio = np.where(ng > 0, round_half_away(nd / np.maximum(ng, 1)), 0.0)
@@ -831,6 +858,29 @@ def _tf_rows(t: pa.Table, nbuckets: int) -> pa.Table:
     )
 
 
+_SENTINEL_TERM = "\x00__bucket_sentinel__"
+
+
+def _tf_sentinels(nbuckets: int, num_partitions: int) -> pa.Table:
+    """Typed sentinel tf rows pinned to every hash partition of the
+    term-bucket shuffle (the _span_sentinels technique): no partition
+    is ever empty/schema-less, so the downstream doc_id groupby never
+    sees a poisoned block and NO materialize barrier is needed. Bucket
+    tasks filter on _SENTINEL_TERM."""
+    from ..rayutil import covering_bucket_values
+
+    vals = covering_bucket_values(nbuckets, num_partitions)
+    n = len(vals)
+    return pa.table(
+        {
+            "bucket": pa.array(vals, type=pa.int32()),
+            "term": pa.array([_SENTINEL_TERM] * n, type=pa.string()),
+            "doc_id": pa.array([-1] * n, type=pa.int64()),
+            "tf": pa.array([0] * n, type=pa.int64()),
+        }
+    )
+
+
 def tfidf_top_terms(
     docs: rd.Dataset, k: int = 3, nbuckets: int = 32
 ) -> pd.DataFrame:
@@ -848,18 +898,15 @@ def tfidf_top_terms(
     only collects the final k·N_docs output frame (the oracle
     contract); at crawl scale call ``tfidf_top_terms_ds`` and keep the
     result distributed."""
-    res = tfidf_top_terms_ds(docs, k=k, nbuckets=nbuckets)
-    out = (
-        res.to_pandas()
-        if res is not None
-        else pd.DataFrame(
+    out = tfidf_top_terms_ds(docs, k=k, nbuckets=nbuckets).to_pandas()
+    if not len(out.columns):  # all-empty corpus loses its schema
+        out = pd.DataFrame(
             {
                 "doc_id": pd.Series([], dtype="int64"),
                 "term": pd.Series([], dtype="object"),
                 "tfidf_raw": pd.Series([], dtype="float64"),
             }
         )
-    )
     out = out.sort_values(
         ["doc_id", "tfidf_raw", "term"], ascending=[True, False, True]
     ).reset_index(drop=True)
@@ -869,14 +916,28 @@ def tfidf_top_terms(
 
 def tfidf_top_terms_ds(
     docs: rd.Dataset, k: int = 3, nbuckets: int = 32
-) -> rd.Dataset | None:
+) -> rd.Dataset:
     """Distributed core of :func:`tfidf_top_terms`; returns a Dataset
     of (doc_id, term, tfidf_raw) — k rows per doc, UNROUNDED scores
-    (the oracle ranks on the raw expression; round at the edge) — or
-    ``None`` when the corpus has no tokens at all."""
+    (the oracle ranks on the raw expression; round at the edge).
+    ONE streaming plan: term-bucket hash groupby (typed sentinels pin
+    every partition, so no materialize barrier) then a sort-based
+    doc_id groupby over the bounded candidate rows."""
     n_docs = docs.count()
 
     def score_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g[g["term"] != _SENTINEL_TERM]
+        if not len(g):
+            # sentinel-only group: one typed CARRIER row (doc_id -1,
+            # filtered at the edge) — a 0-row block would re-poison
+            # the next shuffle (Ray drops empty blocks' schemas)
+            return pa.table(
+                {
+                    "doc_id": pa.array([-1], type=pa.int64()),
+                    "term": pa.array([_SENTINEL_TERM], type=pa.string()),
+                    "tfidf_raw": pa.array([0.0], type=pa.float64()),
+                }
+            )
         # exact global df per term: every row of a term is in this
         # bucket, so a within-bucket distinct-doc count is the true df
         df = g.groupby("term", sort=False)["doc_id"].nunique()
@@ -909,25 +970,24 @@ def tfidf_top_terms_ds(
             ["tfidf_raw", "term"], ascending=[False, True]
         ).head(k)
 
-    from ..rayutil import drop_empty_blocks
-
+    num_partitions = min(nbuckets, 8)
     pruned = (
         docs.map_batches(
             lambda t: _tf_rows(t, nbuckets), batch_format="pyarrow"
         )
-        .groupby("bucket", num_partitions=min(nbuckets, 8))
+        .union(rd.from_arrow(_tf_sentinels(nbuckets, num_partitions)))
+        .groupby("bucket", num_partitions=num_partitions)
         .map_groups(score_bucket, batch_format="pandas")
-        # plan break before the second shuffle (the dup_ngram_stats
-        # pattern): empty hash partitions emit schema-less blocks that
-        # poison the next shuffle's key sort, and >1 HashShuffle in
-        # one plan deadlocks small clusters (Ray 2.49.2). Bounded:
-        # ≤ k·nbuckets candidate rows per doc, 3 small columns.
-        .materialize()
     )
-    if pruned.count() == 0:  # all-empty corpus: no scorable rows
-        return None
-    return drop_empty_blocks(pruned).groupby("doc_id").map_groups(
-        topk_doc, batch_format="pandas"
+    def drop_carriers(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("doc_id"), 0))
+
+    # second doc_id groupby in the SAME streaming plan; input is
+    # ≤ k·nbuckets candidate rows per doc plus the carrier rows
+    return (
+        pruned.groupby("doc_id")
+        .map_groups(topk_doc, batch_format="pandas")
+        .map_batches(drop_carriers, batch_format="pyarrow")
     )
 
 
@@ -971,6 +1031,17 @@ def unigram_logprob(docs: rd.Dataset, nbuckets: int = 32) -> pd.DataFrame:
     log_total = float(np.log(total)) if total > 0 else 0.0
 
     def bucket_partial(g: pd.DataFrame) -> pa.Table:
+        g = g[g["term"] != _SENTINEL_TERM]
+        if not len(g):
+            # sentinel-only group: one typed CARRIER row (doc_id -1,
+            # filtered at the edge; see tfidf_top_terms_ds)
+            return pa.table(
+                {
+                    "doc_id": pa.array([-1], type=pa.int64()),
+                    "n_tok": pa.array([0], type=pa.int64()),
+                    "logsum": pa.array([0.0], type=pa.float64()),
+                }
+            )
         cnt = g.groupby("term", sort=False)["tf"].sum()
         logc = np.log(cnt.to_numpy(dtype=np.float64))
         contrib = g["tf"].to_numpy(dtype=np.float64) * pd.Series(
@@ -999,19 +1070,23 @@ def unigram_logprob(docs: rd.Dataset, nbuckets: int = 32) -> pd.DataFrame:
             }
         )
 
-    from ..rayutil import drop_empty_blocks
-
-    parts = (
+    num_partitions = min(nbuckets, 8)
+    folded = (
         docs.map_batches(
             lambda t: _tf_rows(t, nbuckets), batch_format="pyarrow"
         )
-        .groupby("bucket", num_partitions=min(nbuckets, 8))
+        .union(rd.from_arrow(_tf_sentinels(nbuckets, num_partitions)))
+        .groupby("bucket", num_partitions=num_partitions)
         .map_groups(bucket_partial, batch_format="pandas")
-        # plan break before the second shuffle (see tfidf_top_terms_ds
-        # note). Bounded: ≤ nbuckets partial rows per doc.
-        .materialize()
+        # sort-based second groupby in the SAME streaming plan (typed
+        # sentinels keep every hash partition schemaed; a second
+        # HashShuffle would deadlock small clusters on Ray 2.49.2)
+        .groupby("doc_id")
+        .map_groups(fold_doc, batch_format="pandas")
     )
-    if parts.count() == 0:  # all-empty corpus: no token rows at all
+    out = folded.to_pandas()
+    out = out[out["doc_id"] >= 0]  # drop sentinel carrier rows
+    if not len(out):  # all-empty corpus: typed empty frame
         return pd.DataFrame(
             {
                 "doc_id": pd.Series([], dtype="int64"),
@@ -1019,12 +1094,6 @@ def unigram_logprob(docs: rd.Dataset, nbuckets: int = 32) -> pd.DataFrame:
                 "avg_logprob": pd.Series([], dtype="float64"),
             }
         )
-    folded = (
-        drop_empty_blocks(parts)
-        .groupby("doc_id")
-        .map_groups(fold_doc, batch_format="pandas")
-    )
-    out = folded.to_pandas()
     raw = out["logsum"].to_numpy() / out["n_tokens"].to_numpy() - log_total
     out["avg_logprob"] = round_half_away(raw, 6)
     out = out.sort_values("doc_id").reset_index(drop=True)

@@ -2,11 +2,13 @@
 
 Media travel as opaque ``binary`` payload columns with typed metadata
 (width/height/format), processed by actor-pool ``map_batches`` stages.
-The Ray-side plumbing — schema, batching, actor signatures, output
-layout — is real and tested; codec-dependent decodes (PNG/JPEG/audio/
-video) are STUBBED behind ``NotImplementedError`` because the codec
-libraries are not in this container. The raw-raster path (the format
-the engine's media tables actually use) is fully implemented.
+Image (raw-gray-u8 + pure-numpy PNG codec), audio (pure-numpy RIFF/PCM
+WAV reader -> spectral/energy features) and video (packed raw-frame
+sampler) columns are all REAL — decoded and computed with numpy alone.
+Only external-codec container formats (JPEG, mp3/aac, mp4/h264) stay
+behind ``NotImplementedError``, since no codec library exists in this
+container; their Ray-side plumbing is identical to the working
+WAV/raw-frame paths.
 """
 
 from __future__ import annotations
@@ -81,17 +83,219 @@ def _decode_row(raw: bytes, w, h) -> np.ndarray:
     return decode_raster(raw, int(w), int(h))
 
 
-def sample_video_frames(raw: bytes, every_n: int = 30):
-    raise NotImplementedError(
-        "video frame sampling requires a codec library not present in this "
-        "environment"
-    )
+# --------------------------------------------------------- audio (WAV)
+#
+# Container formats needing external codec libraries (mp3/aac/mp4/h264)
+# stay out of scope for this environment; RIFF/PCM WAV and packed raw
+# frames are parsed with numpy alone, which makes the audio/video
+# columns REAL: payloads decode, features compute, frames sample — all
+# inside actor-pool map_batches stages over binary columns.
+
+WAV_FORMAT = "wav-pcm"
+RAW_VIDEO_FORMAT = "raw-video-u8"  # packed n_frames x h x w uint8 frames
 
 
-def extract_audio_features(raw: bytes, sample_rate: int = 16000):
-    raise NotImplementedError(
-        "audio decode requires a codec library not present in this environment"
+def decode_wav(raw: bytes) -> tuple[np.ndarray, int]:
+    """Pure-numpy RIFF/PCM WAV reader -> (mono float32 in [-1,1],
+    sample_rate). Supports 8-bit unsigned and 16-bit signed PCM, any
+    channel count (averaged to mono). Raises ValueError on anything
+    that is not a well-formed PCM WAV (callers apply the engine's
+    skip-and-continue row policy)."""
+    if len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        size = int.from_bytes(raw[pos + 4 : pos + 8], "little")
+        body = raw[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            if audio_fmt != 1:
+                raise ValueError(f"non-PCM wav (format {audio_fmt})")
+            fmt = {
+                "channels": int.from_bytes(body[2:4], "little"),
+                "rate": int.from_bytes(body[4:8], "little"),
+                "bits": int.from_bytes(body[14:16], "little"),
+            }
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    ch = max(1, fmt["channels"])
+    if fmt["bits"] == 16:
+        x = np.frombuffer(
+            data[: len(data) - (len(data) % (2 * ch))], dtype="<i2"
+        ).astype(np.float32) / np.float32(32768.0)
+    elif fmt["bits"] == 8:
+        x = (
+            np.frombuffer(data[: len(data) - (len(data) % ch)], dtype=np.uint8)
+            .astype(np.float32)
+            - np.float32(128.0)
+        ) / np.float32(128.0)
+    else:
+        raise ValueError(f"unsupported bit depth {fmt['bits']}")
+    if ch > 1:
+        x = x[: (len(x) // ch) * ch].reshape(-1, ch).mean(axis=1)
+    return x.astype(np.float32), fmt["rate"]
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """float [-1,1] mono -> 16-bit PCM WAV bytes (fixture helper)."""
+    pcm = np.clip(
+        np.round(np.asarray(samples, dtype=np.float64) * 32767.0),
+        -32768,
+        32767,
+    ).astype("<i2")
+    data = pcm.tobytes()
+    hdr = (
+        b"RIFF"
+        + (36 + len(data)).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + int(sample_rate).to_bytes(4, "little")
+        + int(sample_rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits
+        + b"data"
+        + len(data).to_bytes(4, "little")
     )
+    return hdr + data
+
+
+def extract_audio_features(raw: bytes) -> dict:
+    """WAV payload -> deterministic scalar features: duration, RMS
+    energy, zero-crossing rate, and the spectral centroid in Hz (rfft
+    magnitude-weighted mean frequency) — the audio analogs of the
+    image ink/contrast/edge features."""
+    x, sr = decode_wav(raw)
+    n = len(x)
+    if n == 0:
+        return {
+            "duration_sec": 0.0,
+            "rms": 0.0,
+            "zero_cross_rate": 0.0,
+            "spectral_centroid_hz": 0.0,
+        }
+    rms = float(np.sqrt(np.mean(x.astype(np.float64) ** 2)))
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    mag = np.abs(np.fft.rfft(x.astype(np.float64)))
+    freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+    tot = float(mag.sum())
+    centroid = float((freqs * mag).sum() / tot) if tot > 0 else 0.0
+    return {
+        "duration_sec": n / float(sr),
+        "rms": rms,
+        "zero_cross_rate": zcr,
+        "spectral_centroid_hz": centroid,
+    }
+
+
+class AudioFeatureStage:
+    """Actor-pool stage over (media_ref, payload) WAV rows -> one
+    feature row each; malformed payloads keep skip-and-continue
+    semantics (all-zero features, decoded=False)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        n = len(refs)
+        dur = np.zeros(n)
+        rms = np.zeros(n)
+        zcr = np.zeros(n)
+        cen = np.zeros(n)
+        ok = np.zeros(n, dtype=bool)
+        for i, raw in enumerate(payloads):
+            if raw is None:
+                continue
+            try:
+                f = extract_audio_features(raw)
+            except ValueError:
+                continue
+            dur[i] = f["duration_sec"]
+            rms[i] = f["rms"]
+            zcr[i] = f["zero_cross_rate"]
+            cen[i] = f["spectral_centroid_hz"]
+            ok[i] = True
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, type=pa.string()),
+                "duration_sec": pa.array(np.round(dur, 6)),
+                "rms": pa.array(np.round(rms, 6)),
+                "zero_cross_rate": pa.array(np.round(zcr, 6)),
+                "spectral_centroid_hz": pa.array(np.round(cen, 6)),
+                "decoded": pa.array(ok),
+            }
+        )
+
+
+# ----------------------------------------------------- video (raw frames)
+
+
+def sample_video_frames(
+    raw: bytes, width: int, height: int, every_n: int = 30
+) -> np.ndarray:
+    """Packed raw-video payload (n_frames x h x w uint8, row-major) ->
+    (k, h, w) uint8 array of every ``every_n``-th frame starting at
+    frame 0. Frame count is inferred from the payload length; a
+    payload that is not a whole number of frames raises ValueError
+    (callers skip-and-continue)."""
+    w, h = int(width), int(height)
+    if w <= 0 or h <= 0:
+        raise ValueError("non-positive frame dims")
+    fsz = w * h
+    if fsz == 0 or len(raw) % fsz != 0:
+        raise ValueError("payload is not a whole number of frames")
+    n_frames = len(raw) // fsz
+    frames = np.frombuffer(raw, dtype=np.uint8).reshape(n_frames, h, w)
+    return frames[:: max(1, int(every_n))].copy()
+
+
+class VideoFrameSampleStage:
+    """Actor-pool stage over (media_ref, width, height, payload)
+    packed-raw-video rows -> ONE ROW PER SAMPLED FRAME
+    (media_ref, frame_idx, width, height, pixels), pixels in the
+    engine's raw-gray-u8 layout so the image stages (resize, features,
+    OCR) chain directly on sampled frames. Malformed payloads emit no
+    rows (skip-and-continue)."""
+
+    def __init__(self, every_n: int = 30):
+        self.every_n = max(1, int(every_n))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        widths = batch.column("width").to_numpy(zero_copy_only=False)
+        heights = batch.column("height").to_numpy(zero_copy_only=False)
+        payloads = batch.column("payload").to_pylist()
+        o_ref, o_idx, o_w, o_h, o_px = [], [], [], [], []
+        for ref, w, h, raw in zip(refs, widths, heights, payloads):
+            if raw is None:
+                continue
+            try:
+                frames = sample_video_frames(raw, w, h, self.every_n)
+            except (ValueError, TypeError):
+                continue
+            for j, fr in enumerate(frames):
+                o_ref.append(ref)
+                o_idx.append(j * self.every_n)
+                o_w.append(int(w))
+                o_h.append(int(h))
+                o_px.append(fr.tobytes())
+        return pa.table(
+            {
+                "media_ref": pa.array(o_ref, type=pa.string()),
+                "frame_idx": pa.array(o_idx, type=pa.int64()),
+                "width": pa.array(o_w, type=pa.int32()),
+                "height": pa.array(o_h, type=pa.int32()),
+                "pixels": pa.array(o_px, type=pa.binary()),
+            }
+        )
 
 
 def encode_media_png(batch: pa.Table) -> pa.Table:

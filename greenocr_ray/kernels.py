@@ -204,6 +204,32 @@ def unsharp(img: np.ndarray, amount: float = 1.5) -> np.ndarray:
     return np.clip(img + amount * (img - blurred), 0.0, 1.0).astype(np.float32)
 
 
+def sr_enhance(
+    img: np.ndarray, iters: int = 12, psf_sigma: float = 1.1
+) -> np.ndarray:
+    """Deterministic stand-in for the learned super-resolution enhance
+    slot (P1): the reference runs Real-ESRGAN RRDBNet x4 with
+    ``outscale=1`` — detail RESTORATION at unchanged output size —
+    before the aspect resize (exe_t.py:483-505,
+    real_esrgan/ENHANCMENT2.py:22-36). Here the learned prior is
+    replaced by Richardson-Lucy deconvolution against a gaussian PSF
+    (the faded-scan blur model), run on the ink-positive inverse so the
+    multiplicative updates favor sparse dark strokes on light paper.
+    Same contract as the reference slot: HxW float [0,1] in, same-size
+    sharpened image out; recovers heavily blurred text (PSF sigma ~2x
+    the fixture degradation cap) that global/CLAHE contrast alone
+    cannot (see test_sr_enhance_recovers_blur). A real cluster swaps
+    in a torch/ONNX model via ``enhance='external'`` without touching
+    this chain."""
+    obs = 1.0 - np.clip(img.astype(np.float32), 0.0, 1.0)  # ink-positive
+    est = obs + np.float32(1e-3)
+    for _ in range(iters):
+        conv = np.clip(gaussian_blur(est, psf_sigma), 1e-6, None)
+        # gaussian PSF is symmetric: correlation == convolution
+        est = est * gaussian_blur(obs / conv, psf_sigma)
+    return np.clip(1.0 - est, 0.0, 1.0).astype(np.float32)
+
+
 def laplacian(img: np.ndarray) -> np.ndarray:
     """3x3 Laplacian, min-max normalized to [0,1] (train.py:629-632)."""
     pad = np.pad(img.astype(np.float32), 1, mode="reflect")

@@ -43,13 +43,14 @@ from ..state.lineage import (
 
 @dataclass
 class ExtractOptions:
-    enhance: str = "clahe"  # 'clahe' | 'stretch'
+    enhance: str = "clahe"  # 'clahe' | 'stretch' | 'sr' (RL-deconv P1) | 'external'
     binarization: str = "otsu"  # 'otsu' | 'sauvola'
     n_parts: int = 16  # output/checkpoint partitions
     join_partitions: int = 16  # media_ref hash-join partitions
     ocr_batch_size: int = OCR_BATCH_SIZE
     ocr_concurrency: tuple[int, int] | int = (1, 8)
     ocr_layout: str = "line"  # 'line' strips | 'page' (CC multi-line)
+    cost_sort: bool = True  # G1: heavy-first LPT sort before the OCR pool
 
 
 def _clean_spans_keep_media(batch: pa.Table) -> pa.Table:
@@ -134,7 +135,20 @@ def extract_flat(
     )
 
     payload_cols = ["media_ref", "width", "height", "pixels"]
-    ocr_text = media.select_columns(payload_cols).map_batches(  # never ship true_text
+    from ..stages.ocr import cost_stripe_media
+
+    payloads = media.select_columns(payload_cols)  # never ship true_text
+    if opts.cost_sort:
+        # G1 (SURVEY §4): cost-stripe skewed blocks so every OCR batch
+        # window carries ~equal total media_bytes — bounds p95 batch
+        # wall when wide page scans mix with short line strips
+        bsz = opts.ocr_batch_size
+
+        def stripe(t: pa.Table) -> pa.Table:
+            return cost_stripe_media(t, batch_size=bsz)
+
+        payloads = payloads.map_batches(stripe, batch_format="pyarrow")
+    ocr_text = payloads.map_batches(
         OcrMediaActor,
         fn_constructor_kwargs={
             "enhance": opts.enhance,

@@ -95,3 +95,32 @@ def crc32_of_strings(arr) -> "np.ndarray":
         crc[alive] = _CRC32_TABLE[(c ^ b) & 0xFF] ^ (c >> 8)
         alive = alive[lens[alive] > j + 1]
     return crc ^ np.uint32(0xFFFFFFFF)
+
+
+def hash_partition_of_int32(value: int, num_partitions: int) -> int:
+    """Reproduce Ray 2.49.2's hash_partition assignment for an int32
+    key value (transform_pyarrow.hash_partition hashes the tuple of
+    pyarrow scalars; INT scalar hashing is PYTHONHASHSEED-independent,
+    verified across seeds — strings would not be)."""
+    arr = pa.array([value], type=pa.int32())
+    return hash((arr[0],)) % num_partitions
+
+
+def covering_bucket_values(nbuckets: int, num_partitions: int) -> list[int]:
+    """Int32 bucket values whose hash-partition assignments cover
+    EVERY partition of a ``groupby('bucket', num_partitions=...)``
+    shuffle: all real values 0..nbuckets-1 (so every real group also
+    contains one sentinel row) plus synthetic values >= nbuckets for
+    partitions no real bucket hashes to (those would otherwise emit
+    schema-less empty blocks that poison downstream shuffles — the
+    Ray 2.49.2 schema-broadcast race; see drop_empty_blocks)."""
+    values = list(range(nbuckets))
+    covered = {hash_partition_of_int32(v, num_partitions) for v in values}
+    v = nbuckets
+    while len(covered) < num_partitions:
+        p = hash_partition_of_int32(v, num_partitions)
+        if p not in covered:
+            covered.add(p)
+            values.append(v)
+        v += 1
+    return values

@@ -33,7 +33,7 @@ class Recognizer:
 
     def __init__(
         self,
-        enhance: str = "clahe",  # 'clahe' | 'stretch' | 'external'
+        enhance: str = "clahe",  # 'clahe' | 'stretch' | 'sr' | 'external'
         binarization: str = "otsu",  # 'otsu' | 'sauvola'
         scale: int = SCALE,
         enhance_fn=None,  # required when enhance='external'
@@ -63,6 +63,11 @@ class Recognizer:
             # a real cluster without touching the pipeline; this
             # sandbox has no such runtime, so the fn is caller-supplied
             out = np.asarray(self.enhance_fn(img), dtype=np.float32)
+        elif self.enhance == "sr":
+            # in-repo P1 operator: deterministic Richardson-Lucy
+            # detail restoration (the Real-ESRGAN outscale=1 contract,
+            # exe_t.py:483-505), then CLAHE for the faded contrast
+            out = kernels.clahe(kernels.sr_enhance(img))
         elif self.enhance == "clahe":
             out = kernels.clahe(img)
         else:

@@ -46,3 +46,34 @@ def test_render_geometry():
     assert img.min() == 0.0 and img.max() == 1.0
     # wider text -> wider image
     assert render_line("the fast").shape[1] > img.shape[1]
+
+
+def test_sr_enhance_recovers_blur():
+    """P1 operator: on a heavily blurred faded render (sigma 2.5, ~3x
+    the fixture degradation cap), the CLAHE-only chain misreads while
+    enhance='sr' (Richardson-Lucy detail restoration, the
+    Real-ESRGAN outscale=1 stand-in) recovers the text exactly, and
+    the default chain's behavior is unchanged on a clean render."""
+    import numpy as np
+
+    from greenocr_ray import kernels
+    from greenocr_ray.glyphs import render_line
+    from greenocr_ray.recognize import Recognizer
+
+    truth = "the quick brown fox 42"
+    img = render_line(truth).astype(np.float32)
+    degraded = kernels.gaussian_blur(0.38 + 0.24 * img, 2.5)
+
+    got_clahe, _ = Recognizer(enhance="clahe").recognize(degraded)
+    got_sr, conf_sr = Recognizer(enhance="sr").recognize(degraded)
+    assert got_clahe != truth  # the degradation defeats contrast alone
+    assert got_sr == truth
+    assert conf_sr > 0.3
+
+    # default chain unchanged on a mildly degraded render
+    mild = kernels.gaussian_blur(0.3 + 0.6 * img, 0.6)
+    assert Recognizer(enhance="clahe").recognize(mild)[0] == truth
+    # sr output contract: same shape, [0,1]
+    out = kernels.sr_enhance(degraded)
+    assert out.shape == degraded.shape
+    assert out.min() >= 0.0 and out.max() <= 1.0

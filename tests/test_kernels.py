@@ -143,3 +143,46 @@ def test_estimate_skew_multiline_uneven():
         rot = kernels.rotate(pad, true_skew, fill=1.0)
         est = kernels.estimate_skew(rot)
         assert abs(est - true_skew) < 0.35, (true_skew, est)
+
+
+def test_cost_stripe_media_equalizes_windows():
+    """G1: striped blocks put ~equal total media_bytes in every
+    batch_size window (the slices the OCR pool receives); homogeneous
+    blocks take the no-copy guard exit; rows are a permutation."""
+    import numpy as np
+    import pyarrow as pa
+
+    from greenocr_ray.stages.ocr import cost_stripe_media
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    n = 320
+    cost = np.where(rng.random(n) < 0.1, 60000, 2000)
+    t = pa.table(
+        {
+            "media_ref": [f"m{i}" for i in range(n)],
+            "width": pa.array([1] * n, pa.int32()),
+            "height": pa.array([1] * n, pa.int32()),
+            "pixels": pa.array([b"x" * int(c) for c in cost], pa.binary()),
+        }
+    )
+    out = cost_stripe_media(t, batch_size=32)
+    assert sorted(out.column("media_ref").to_pylist()) == sorted(
+        t.column("media_ref").to_pylist()
+    )
+    oc = np.array([len(p) for p in out.column("pixels").to_pylist()])
+    win = oc.reshape(-1, 32).sum(axis=1)
+    nat = cost.reshape(-1, 32).sum(axis=1)
+    assert win.max() < nat.max()  # tail window strictly improves
+    assert win.max() - win.min() <= 60000  # within one heavy item of equal
+
+    hom = pa.table(
+        {
+            "media_ref": [f"m{i}" for i in range(n)],
+            "width": pa.array([1] * n, pa.int32()),
+            "height": pa.array([1] * n, pa.int32()),
+            "pixels": pa.array([b"x" * 2000] * n, pa.binary()),
+        }
+    )
+    assert cost_stripe_media(hom, 32) is hom  # guard exit, no copy
+    tiny = hom.slice(0, 8)
+    assert cost_stripe_media(tiny, 32) is tiny  # below one window

@@ -1037,3 +1037,39 @@ def test_rollup_events_levels(ray_session, tmp_path):
     assert rows[("view", -1)] == (1, 4.0)
     assert rows[("ALL", -1)] == (3, 7.0)  # grand total
     assert len(out) == 6
+
+
+def test_dup_ngram_streams_on_heavy_dup_corpus(ray_session, monkeypatch):
+    """VERDICT r3 #7: on a heavily duplicated crawl (every doc shares
+    the same passage — the exact case the metric exists for) the plan
+    must stay ONE stream: no Dataset.materialize, and the per-doc dup
+    fold happens inside the gram buckets."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import dup_ngram_stats
+
+    passage = "the same duplicated passage appears in every single doc"
+    texts = [f"{passage} unique{i} tail{i}" for i in range(40)]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(40)), type=pa.int64()),
+                "text": texts,
+            }
+        )
+    )
+    calls = []
+    orig = rd.Dataset.materialize
+
+    def spy(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(rd.Dataset, "materialize", spy)
+    out = dup_ngram_stats(docs, n=5).to_pandas().set_index("doc_id")
+    assert calls == [], "materialize barrier reappeared in dup_ngram_stats"
+    # every doc's shared-passage grams are duplicated corpus-wide
+    assert (out["n_dup_grams"] >= 5).all()
+    assert (out["dup_ratio"] > 0).all() and (out["dup_ratio"] <= 1).all()
