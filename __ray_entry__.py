@@ -468,6 +468,155 @@ def _q_media_features(sf_dir: str) -> Any:
     return out[["media_ref", "consistent", "decoded"]]
 
 
+def _synth_wav_rows(t) -> Any:
+    """Deterministic WAV payloads derived from doc_ids (no external
+    data): each doc gets a pure sine whose frequency/duration are
+    integer functions of its id — reproducible on driver and workers."""
+    import pyarrow as pa
+
+    from greenocr_ray.functions.multimodal import encode_wav
+
+    refs, payloads = [], []
+    for did in t.column("doc_id").to_pylist():
+        d = int(did)
+        freq = 200.0 + (d % 13) * 50.0
+        dur = 0.25 + (d % 5) * 0.05
+        sr = 8000
+        ts = np.arange(int(sr * dur)) / sr
+        wav = encode_wav(0.5 * np.sin(2 * np.pi * freq * ts), sr)
+        refs.append(f"aud-{d:08d}")
+        payloads.append(wav)
+    return pa.table(
+        {
+            "media_ref": pa.array(refs, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+def _q_media_audio(sf_dir: str) -> Any:
+    """Audio column end-to-end: deterministic WAV payloads synthesized
+    per doc inside the stream, decoded + featurized by the
+    AudioFeatureStage actor pool. Machine-gated like media_features:
+    the distributed feature rows must equal a fresh driver recompute
+    over ONE whole-table batch; the oracle pins consistent/decoded
+    TRUE (every synthesized payload is a valid PCM WAV)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from greenocr_ray.functions.multimodal import AudioFeatureStage
+
+    docs = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .sort("doc_id")
+        .limit(100)
+    )
+    out = (
+        docs.map_batches(_synth_wav_rows, batch_format="pyarrow")
+        .map_batches(
+            AudioFeatureStage,
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=(1, 4),
+        )
+        .to_pandas()
+        .sort_values("media_ref")
+        .reset_index(drop=True)
+    )
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = ids.sort_by("doc_id").slice(0, 100)
+    ref = (
+        AudioFeatureStage()(_synth_wav_rows(ids))
+        .to_pandas()
+        .sort_values("media_ref")
+        .reset_index(drop=True)
+    )
+    feat = ["duration_sec", "rms", "zero_cross_rate", "spectral_centroid_hz"]
+    out["consistent"] = (
+        (out[feat].to_numpy() == ref[feat].to_numpy()).all(axis=1)
+        & (out["media_ref"].to_numpy() == ref["media_ref"].to_numpy())
+        & out["decoded"].to_numpy()
+    )
+    return out[["media_ref", "consistent", "decoded"]]
+
+
+def _synth_video_rows(t) -> Any:
+    """Deterministic packed raw-video payloads: doc d gets
+    ``8 + d % 9`` frames of a moving bar on a gradient (16x12 u8)."""
+    import pyarrow as pa
+
+    refs, ws, hs, payloads = [], [], [], []
+    w, h = 16, 12
+    base = np.tile(np.linspace(0, 200, w, dtype=np.float64), (h, 1))
+    for did in t.column("doc_id").to_pylist():
+        d = int(did)
+        n_frames = 8 + d % 9
+        frames = np.empty((n_frames, h, w), dtype=np.uint8)
+        for k in range(n_frames):
+            f = base.copy()
+            f[:, (d + 3 * k) % w] = 255.0  # the moving bar
+            frames[k] = f.astype(np.uint8)
+        refs.append(f"vid-{d:08d}")
+        ws.append(w)
+        hs.append(h)
+        payloads.append(frames.tobytes())
+    return pa.table(
+        {
+            "media_ref": pa.array(refs, type=pa.string()),
+            "width": pa.array(ws, type=pa.int32()),
+            "height": pa.array(hs, type=pa.int32()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+def _q_media_video(sf_dir: str) -> Any:
+    """Video column end-to-end: packed raw-frame payloads synthesized
+    per doc, sampled every 4th frame by the VideoFrameSampleStage
+    actor pool (one output row per sampled frame, image-layout
+    pixels). ``consistent`` machine-gates frame CONTENT against a
+    driver recompute; the oracle independently derives the expected
+    (media_ref, frame_idx) rows in SQL from the same integer
+    arithmetic (frame_idx in 0,4,8,... < 8 + doc_id %% 9)."""
+    import ray.data as rd
+
+    from greenocr_ray.functions.multimodal import VideoFrameSampleStage
+
+    docs = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .sort("doc_id")
+        .limit(50)
+    )
+    out = (
+        docs.map_batches(_synth_video_rows, batch_format="pyarrow")
+        .map_batches(
+            VideoFrameSampleStage,
+            fn_constructor_kwargs={"every_n": 4},
+            batch_format="pyarrow",
+            batch_size=8,
+            concurrency=(1, 4),
+        )
+        .to_pandas()
+        .sort_values(["media_ref", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = ids.sort_by("doc_id").slice(0, 50)
+    ref = (
+        VideoFrameSampleStage(every_n=4)(_synth_video_rows(ids))
+        .to_pandas()
+        .sort_values(["media_ref", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    out["consistent"] = (
+        (out["media_ref"].to_numpy() == ref["media_ref"].to_numpy())
+        & (out["frame_idx"].to_numpy() == ref["frame_idx"].to_numpy())
+        & np.array([a == b for a, b in zip(out["pixels"], ref["pixels"])])
+    )
+    out["frame_idx"] = out["frame_idx"].astype("int64")
+    return out[["media_ref", "frame_idx", "consistent"]]
+
+
 def _q_near_dup_embeddings(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -1120,7 +1269,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from greenocr_ray.functions import relational as R
 
     return {
-        # flagship extraction (non-SQL: OCR + span assembly)
+        # r4 rotation: entries the r3 driver snapshot did NOT
+        # gate come FIRST, so a capped driver pass covers them
+        # (VERDICT r3 next-step #9); all entries pass the local
+        # gate mimic (tools/check_oracle.py) either way.
+        "media_audio": _q_media_audio,
+        "media_video": _q_media_video,
+        "extract_entities": _q_extract_entities,
+        "lexical_diversity": _q_lexical_diversity,
+        "rollup_events": _q_rollup_events,
+        "value_histogram": _q_value_histogram,
+        "approx_distinct_tokens": _q_approx_distinct_tokens,
+        "stratified_sample": _q_stratified_sample,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "knn_cosine_batch": _q_knn_batch,
+        "dedup_embeddings": _q_dedup_embeddings,
+        "label_centroids": _q_label_centroids,
+        "props_stats": _q_props_stats,
+        "bm25_search": _q_bm25_search,
+        "repetition_stats": _q_repetition_stats,
+        "pii_scrub": _q_pii_scrub,
+        "contamination_check": _q_contamination,
+        "unigram_logprob": _q_unigram_logprob,
+        "top_tokens": _q_top_tokens,
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality,
+        "langid_accuracy": _q_langid,
+        "fingerprints": _q_fingerprints,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_filter": _q_dedup_filter,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "near_dup_groups": _q_near_dup_groups,
+        "knn_cosine": _q_knn,
+        "knn_cosine_lsh": _q_knn_lsh,
+        "knn_cosine_ivf": _q_knn_ivf,
+        "kmeans_clusters": _q_kmeans,
+        "near_dup_embeddings": _q_near_dup_embeddings,
+        "near_dup_embeddings_blocked": _q_near_dup_embeddings_blocked,
+        "near_dup_embeddings_lsh": _q_near_dup_embeddings_lsh,
+        # gated green in CORRECTNESS_r03.json:
         "extract_spans": _q_extract_spans,
         "extract_verify": _q_extract_verify,
         "extract_png_verify": _q_extract_png_verify,
@@ -1128,7 +1317,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_sharded_verify": _q_extract_sharded_verify,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
-        # relational operator suite (oracle-checked)
         "q1_pricing_summary": R.q1_pricing_summary,
         "top_orders": R.q_top_orders,
         "filter_events": R.q_filter_events,
@@ -1149,7 +1337,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_outliers": R.q_event_outliers,
         "daily_active_users": R.q_daily_active_users,
         "nation_top_customers": R.q_nation_top_customers,
-        # corpus management
         "train_test_split": _q_train_test_split,
         "source_stats": _q_source_stats,
         "keyword_search": _q_keyword_search,
@@ -1173,44 +1360,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stopwords": _q_stopwords,
         "split_leakage": _q_split_leakage,
         "snapshot_diff": _q_snapshot_diff,
-        "extract_entities": _q_extract_entities,
-        "lexical_diversity": _q_lexical_diversity,
-        "rollup_events": _q_rollup_events,
-        "value_histogram": _q_value_histogram,
-        "approx_distinct_tokens": _q_approx_distinct_tokens,
-        "stratified_sample": _q_stratified_sample,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "knn_cosine_batch": _q_knn_batch,
-        "dedup_embeddings": _q_dedup_embeddings,
-        "label_centroids": _q_label_centroids,
-        "props_stats": _q_props_stats,
-        "bm25_search": _q_bm25_search,
-        # data-quality / safety filters
-        "repetition_stats": _q_repetition_stats,
-        "pii_scrub": _q_pii_scrub,
-        "contamination_check": _q_contamination,
-        "unigram_logprob": _q_unigram_logprob,
-        "top_tokens": _q_top_tokens,
-        # text analysis
-        "token_counts": _q_token_counts,
-        "quality_scores": _q_quality,
-        "langid_accuracy": _q_langid,
-        "fingerprints": _q_fingerprints,
-        # dedup
-        "dedup_exact": _q_dedup_exact,
-        "dedup_filter": _q_dedup_filter,
-        "minhash_pairs": _q_minhash_pairs,
-        "simhash": _q_simhash,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "near_dup_groups": _q_near_dup_groups,
-        # similarity search
-        "knn_cosine": _q_knn,
-        "knn_cosine_lsh": _q_knn_lsh,
-        "knn_cosine_ivf": _q_knn_ivf,
-        "kmeans_clusters": _q_kmeans,
-        "near_dup_embeddings": _q_near_dup_embeddings,
-        "near_dup_embeddings_blocked": _q_near_dup_embeddings_blocked,
-        "near_dup_embeddings_lsh": _q_near_dup_embeddings_lsh,
     }
 
 
@@ -1275,6 +1424,23 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT media_ref, TRUE AS consistent, TRUE AS decoded
             FROM read_parquet('{media_100}/*.parquet')
             ORDER BY media_ref
+        """,
+        "media_audio": """
+            SELECT 'aud-' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                       AS media_ref,
+                   TRUE AS consistent, TRUE AS decoded
+            FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100)
+            ORDER BY media_ref
+        """,
+        "media_video": """
+            SELECT 'vid-' || lpad(CAST(d.doc_id AS VARCHAR), 8, '0')
+                       AS media_ref,
+                   CAST(t.g AS BIGINT) AS frame_idx,
+                   TRUE AS consistent
+            FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50) d
+            CROSS JOIN generate_series(0, 16, 4) AS t(g)
+            WHERE t.g < 8 + d.doc_id % 9
+            ORDER BY media_ref, frame_idx
         """,
         "fingerprints": """
             SELECT doc_id, TRUE AS consistent,

@@ -27,14 +27,19 @@ N→4N efficiency criterion). Skew: shards are row-group-grained (many
 more shards than workers) and the actor pool load-balances, so one
 media-heavy shard does not pin the job.
 
-The partitioning ASSUMPTION this relies on (documented per SURVEY.md
-§2 custom-operator rule): ``media_ref`` ranges of distinct doc ranges
-do not interleave — i.e. media is stored sorted by the same key
-order as documents. Each shard reads media in
-[min(its media_refs), max(its media_refs)]: always CORRECT (extra
-rows are ignored), but only FAST when the layout clusters that range
-into few row groups. For non-co-located layouts use
-``run_extraction`` (hash join) instead.
+The partitioning ASSUMPTION this is optimized for (documented per
+SURVEY.md §2 custom-operator rule): ``media_ref`` ranges of distinct
+doc ranges do not interleave — i.e. media is stored sorted by the
+same key order as documents. Each shard reads media in
+[min(its media_refs), max(its media_refs)] — always CORRECT (extra
+rows are ignored) and fast on that layout. A GUARD bounds the
+failure mode on shuffled layouts: when row-group stats show the range
+filter would admit > RANGE_OVERREAD_FACTOR x the groups that actually
+contain needed refs, the shard switches to exact per-row-group reads
++ an ``is_in`` filter (see ShardExtractor._ocr_media), so read
+amplification stays proportional to the shard's real footprint. For
+persistently non-co-located layouts ``run_extraction`` (hash join)
+remains the better path.
 """
 
 from __future__ import annotations
@@ -54,7 +59,7 @@ from .. import png
 from ..functions.multimodal import decode_raster
 from ..recognize import Recognizer
 from ..stages.clean_text import clean_text_spans
-from ..stages.explode import assemble_docs, explode_spans
+from ..stages.explode import assemble_docs_table, explode_spans
 from ..state.lineage import check_run_meta, completed_partitions
 
 
@@ -118,6 +123,11 @@ class ShardExtractor:
     pattern, exe_t.py:461-471); each __call__ handles one shard spec
     batch end to end and returns its lineage rows."""
 
+    # fall back to exact per-row-group reads when the [lo,hi] range
+    # filter would admit more than this many times the row groups that
+    # actually contain needed refs (shuffled / non-co-located layouts)
+    RANGE_OVERREAD_FACTOR = 4
+
     def __init__(
         self,
         media_uri: str,
@@ -129,16 +139,71 @@ class ShardExtractor:
         self.media = pads.dataset(_parquet_files(media_uri), format="parquet")
         self.out_dir = out_dir
         os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
+        # media_ref row-group stats index (metadata only, no data read):
+        # (path, rg_idx, min, max) — None stats mean "must read"
+        self._rg_index: list[tuple[str, int, str | None, str | None]] = []
+        self._pf_cache: dict[str, pq.ParquetFile] = {}
+        for path in _parquet_files(media_uri):
+            pf = pq.ParquetFile(path)
+            self._pf_cache[path] = pf
+            ref_i = pf.schema_arrow.get_field_index("media_ref")
+            for i in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(i).column(ref_i).statistics
+                if st is None or not st.has_min_max:
+                    self._rg_index.append((path, i, None, None))
+                else:
+                    self._rg_index.append((path, i, st.min, st.max))
+        self.last_read_row_groups = 0  # guard observability (tests)
 
     # ------------------------------------------------------- per shard
 
-    def _ocr_media(self, lo: str, hi: str) -> dict[str, tuple[str, float]]:
-        """Filtered media read (row-group stats pruning on media_ref)
-        -> {media_ref: (text, confidence)}."""
-        flt = (pc.field("media_ref") >= lo) & (pc.field("media_ref") <= hi)
-        tbl = self.media.to_table(
-            columns=["media_ref", "width", "height", "pixels"], filter=flt
-        )
+    def _ocr_media(self, refs: list[str]) -> dict[str, tuple[str, float]]:
+        """Media read for a shard's needed refs -> {media_ref: (text,
+        confidence)}. Fast path: one [min,max] range filter (row-group
+        stats pruning — optimal on co-partitioned layouts, where a
+        shard's refs are contiguous). GUARD: when the range would
+        admit > RANGE_OVERREAD_FACTOR x the row groups that actually
+        contain needed refs (a shuffled layout can make [min,max] span
+        the whole table — unbounded read amplification), switch to
+        exact per-row-group reads + an is_in filter instead."""
+        import bisect
+
+        refs_sorted = sorted(set(refs))
+        lo, hi = refs_sorted[0], refs_sorted[-1]
+        range_rgs = []
+        needed = []
+        for path, i, mn, mx in self._rg_index:
+            if mn is not None and (mx < lo or mn > hi):
+                continue  # range filter prunes this group too
+            range_rgs.append((path, i))
+            if mn is None:
+                needed.append((path, i))  # no stats: must read
+                continue
+            p = bisect.bisect_left(refs_sorted, mn)
+            if p < len(refs_sorted) and refs_sorted[p] <= mx:
+                needed.append((path, i))
+        cols = ["media_ref", "width", "height", "pixels"]
+        if len(range_rgs) <= self.RANGE_OVERREAD_FACTOR * max(1, len(needed)):
+            self.last_read_row_groups = len(range_rgs)
+            flt = (pc.field("media_ref") >= lo) & (pc.field("media_ref") <= hi)
+            tbl = self.media.to_table(columns=cols, filter=flt)
+        else:
+            self.last_read_row_groups = len(needed)
+            by_file: dict[str, list[int]] = {}
+            for path, i in needed:
+                by_file.setdefault(path, []).append(i)
+            ref_arr = pa.array(refs_sorted, type=pa.string())
+            parts = []
+            for path, idxs in by_file.items():
+                t = self._pf_cache[path].read_row_groups(idxs, columns=cols)
+                parts.append(
+                    t.filter(pc.is_in(t.column("media_ref"), ref_arr))
+                )
+            tbl = (
+                pa.concat_tables(parts)
+                if parts
+                else self.media.schema.empty_table().select(cols)
+            )
         out: dict[str, tuple[str, float]] = {}
         refs = tbl.column("media_ref").to_pylist()
         ws = tbl.column("width").to_numpy()
@@ -187,7 +252,7 @@ class ShardExtractor:
         ocr: dict[str, tuple[str, float]] = {}
         if n_media:
             refs = media_spans.column("media_ref").to_pylist()
-            ocr = self._ocr_media(min(refs), max(refs))
+            ocr = self._ocr_media(refs)
 
         # in-memory merge: media span rows pick up their recognized text
         m_doc = media_spans.column("doc_id").to_pylist()
@@ -214,29 +279,37 @@ class ShardExtractor:
             rows["media_ref"].append(r)
             rows["confidence"].append(hit[1])
 
-        df = pd.DataFrame(rows)
-        doc_ids, span_lists, confs = assemble_docs(df)
-        table = pa.table(
+        flat_out = pa.table(
             {
-                "doc_id": pa.array(doc_ids, type=pa.string()),
-                "spans": span_lists,
-                "mean_confidence": pa.array(confs, type=pa.float64()),
+                "doc_id": pa.array(rows["doc_id"], type=pa.string()),
+                "offset": pa.array(rows["offset"], type=pa.int64()),
+                "kind": pa.array(rows["kind"], type=pa.string()),
+                "text": pa.array(rows["text"], type=pa.string()),
+                "media_ref": pa.array(rows["media_ref"], type=pa.string()),
+                "confidence": pa.array(rows["confidence"], type=pa.float64()),
             }
         )
+        table = assemble_docs_table(flat_out)  # vectorized Arrow assembly
         final = os.path.join(self.out_dir, f"part-{s.shard_id:05d}.parquet")
         tmp = final + ".tmp"
         pq.write_table(table, tmp)
         os.replace(tmp, final)  # atomic, then lineage LAST
         wall_ms = (time.monotonic() - t0) * 1000.0
-        real = df[df["offset"] >= 0]  # exclude empty-doc placeholders
+        real_mask = pc.greater_equal(flat_out.column("offset"), 0)
+        real = flat_out.filter(real_mask)  # exclude empty-doc placeholders
+        n_real = real.num_rows
         rec = {
             "partition_id": s.shard_id,
-            "n_docs": len(doc_ids),
-            "n_spans": int(len(real)),
+            "n_docs": table.num_rows,
+            "n_spans": int(n_real),
             "n_media": int(n_media - dropped),
             "wall_ms": wall_ms,
-            "spans_per_sec": len(real) / max(wall_ms / 1000.0, 1e-9),
-            "mean_confidence": float(real["confidence"].mean()) if len(real) else 0.0,
+            "spans_per_sec": n_real / max(wall_ms / 1000.0, 1e-9),
+            "mean_confidence": (
+                float(pc.mean(real.column("confidence")).as_py())
+                if n_real
+                else 0.0
+            ),
             "status": "done",
         }
         import json

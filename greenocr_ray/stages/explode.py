@@ -91,6 +91,73 @@ def assemble_docs(
     return doc_ids, span_lists, confs
 
 
+def assemble_docs_table(t: pa.Table) -> pa.Table:
+    """Vectorized Arrow assembly — same §2.6 contract as
+    :func:`assemble_docs` (property-tested equal), with NO per-row
+    Python: one sort_indices/take, numpy reduceat for per-doc counts
+    and confidence sums over run-length doc boundaries, and the spans
+    ``list<struct>`` built directly from ListArray offsets. This is
+    the hot reassembly kernel: every span row of the corpus passes
+    through it, so the pandas conversion + per-doc dict loop of the
+    frame version is the difference between a copy-per-row and a
+    handful of O(n) kernels. -> (doc_id, spans, mean_confidence)."""
+    from ..schema import SPAN_STRUCT
+
+    spans_type = pa.list_(SPAN_STRUCT)
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.string()),
+                "spans": pa.array([], type=spans_type),
+                "mean_confidence": pa.array([], type=pa.float64()),
+            }
+        )
+    idx = pc.sort_indices(
+        t, sort_keys=[("doc_id", "ascending"), ("offset", "ascending")]
+    )
+    t = t.take(idx).combine_chunks()
+    n = t.num_rows
+    dids = t.column("doc_id")
+    if isinstance(dids, pa.ChunkedArray):
+        dids = dids.combine_chunks()
+    neq = pc.not_equal(dids.slice(1), dids.slice(0, n - 1))
+    bmask = np.empty(n, dtype=bool)
+    bmask[0] = True
+    bmask[1:] = neq.to_numpy(zero_copy_only=False)
+    starts = np.nonzero(bmask)[0]
+    offs = t.column("offset").to_numpy(zero_copy_only=False)
+    real = offs >= 0  # placeholders (empty docs) drop from span lists
+    conf = t.column("confidence").to_numpy(zero_copy_only=False)
+    cnt = np.add.reduceat(real.astype(np.int64), starts)
+    csum = np.add.reduceat(np.where(real, conf, 0.0), starts)
+    mean_conf = np.where(cnt > 0, csum / np.maximum(cnt, 1), 0.0)
+    rt = t.filter(pa.array(real))
+
+    def col(name: str, typ) -> pa.Array:
+        c = pc.cast(rt.column(name), typ)
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    struct = pa.StructArray.from_arrays(
+        [
+            col("kind", pa.string()),
+            col("text", pa.string()),
+            col("media_ref", pa.string()),
+            col("offset", pa.int32()),
+        ],
+        fields=list(SPAN_STRUCT),
+    )
+    loff = np.zeros(len(starts) + 1, dtype=np.int32)
+    np.cumsum(cnt, out=loff[1:])
+    spans = pa.ListArray.from_arrays(pa.array(loff, type=pa.int32()), struct)
+    return pa.table(
+        {
+            "doc_id": dids.take(pa.array(starts)),
+            "spans": spans,
+            "mean_confidence": pa.array(mean_conf, type=pa.float64()),
+        }
+    )
+
+
 def assemble_group(g: pd.DataFrame) -> pd.DataFrame:
     """map_groups fn: one doc's flat spans -> one (doc_id, spans) row."""
     doc_ids, span_lists, confs = assemble_docs(g)

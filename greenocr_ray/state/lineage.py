@@ -145,39 +145,48 @@ class PartitionWriter:
         self.__name__ = "PartitionWriter"  # map_groups wants a fn-like name
         os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
 
-    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        from ..stages.explode import assemble_docs
+    def __call__(self, g: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        from ..stages.explode import assemble_docs_table
 
         if self.sentinel_doc is not None:
-            g = g[g["doc_id"] != self.sentinel_doc]
-            if not len(g):
+            g = g.filter(
+                pc.not_equal(g.column("doc_id"), self.sentinel_doc)
+            )
+            if not g.num_rows:
                 return _empty_lineage_typed()
         t0 = time.monotonic()
-        pid = int(g["part_id"].iloc[0])
-        doc_ids, span_lists, confs = assemble_docs(g)
-        table = pa.table(
-            {
-                "doc_id": pa.array(doc_ids, type=pa.string()),
-                "spans": span_lists,
-                "mean_confidence": pa.array(confs, type=pa.float64()),
-            }
-        )
-        n_docs = len(doc_ids)
+        pid = int(g.column("part_id")[0].as_py())
+        table = assemble_docs_table(g)  # vectorized Arrow assembly
+        n_docs = table.num_rows
         final = os.path.join(self.out_dir, f"part-{pid:05d}.parquet")
         tmp = final + ".tmp"
         pq.write_table(table, tmp)
         os.replace(tmp, final)  # atomic
         wall_ms = (time.monotonic() - t0) * 1000.0
-        g = g[g["offset"] >= 0]  # exclude empty-doc placeholders from stats
-        n_spans = int(len(g))
+        # stats over real rows (empty-doc placeholders excluded)
+        real = g.filter(pc.greater_equal(g.column("offset"), 0))
+        n_spans = real.num_rows
         rec = {
             "partition_id": pid,
             "n_docs": n_docs,
             "n_spans": n_spans,
-            "n_media": int((g["kind"] == "ocr").sum()),
+            "n_media": int(
+                pc.sum(
+                    pc.cast(
+                        pc.equal(real.column("kind"), "ocr"), pa.int64()
+                    )
+                ).as_py()
+                or 0
+            ),
             "wall_ms": wall_ms,
             "spans_per_sec": n_spans / max(wall_ms / 1000.0, 1e-9),
-            "mean_confidence": float(g["confidence"].mean()) if len(g) else 0.0,
+            "mean_confidence": (
+                float(pc.mean(real.column("confidence")).as_py())
+                if n_spans
+                else 0.0
+            ),
             "status": "done",
         }
         lin_final = os.path.join(self.out_dir, "_lineage", f"part-{pid:05d}.json")

@@ -124,3 +124,55 @@ def test_sharded_png_payloads_match_raw(ray_session, tmp_path):
     run_sharded_extraction(docs, media, out_raw, ShardedOptions(concurrency=2))
     run_sharded_extraction(docs, media_png, out_png, ShardedOptions(concurrency=2))
     assert _spans_by_doc(out_png) == _spans_by_doc(out_raw)
+
+
+def test_range_read_guard_on_shuffled_media_layout(ray_session, tmp_path):
+    """VERDICT r3 #8: on a SHUFFLED media layout (a shard's refs span
+    nearly the whole [min,max] range) the range filter would read the
+    entire table; the guard must switch to exact per-row-group reads
+    with bounded amplification, and the extracted spans must still
+    match the co-located run exactly."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from greenocr_ray.pipelines.sharded import ShardExtractor
+
+    documents, media, expected = make_corpus(n_docs=40, seed=13)
+    d = tmp_path / "data"
+    d.mkdir()
+    pq.write_table(documents, str(d / "documents.parquet"), row_group_size=10)
+    # shuffled layout: permute media rows deterministically, small row
+    # groups so the range [lo,hi] of any shard spans most groups
+    rng = np.random.Generator(np.random.PCG64(5))
+    perm = rng.permutation(media.num_rows)
+    shuffled = media.take(perm)
+    pq.write_table(shuffled, str(d / "media_shuffled.parquet"), row_group_size=8)
+    pq.write_table(media, str(d / "media_sorted.parquet"), row_group_size=8)
+
+    out_a = str(tmp_path / "sorted")
+    run_sharded_extraction(
+        str(d / "documents.parquet"), str(d / "media_sorted.parquet"),
+        out_a, ShardedOptions(concurrency=2),
+    )
+    out_b = str(tmp_path / "shuffled")
+    run_sharded_extraction(
+        str(d / "documents.parquet"), str(d / "media_shuffled.parquet"),
+        out_b, ShardedOptions(concurrency=2),
+    )
+    assert _spans_by_doc(out_a) == _spans_by_doc(out_b)
+
+    # guard observability: a shard whose refs hit few groups of the
+    # shuffled table reads only those groups, not the whole range
+    ex = ShardExtractor(str(d / "media_shuffled.parquet"), str(tmp_path / "o"))
+    n_groups = len(ex._rg_index)
+    refs = media.column("media_ref").to_pylist()
+    few = sorted(set(refs))[:3]  # 3 refs scattered by the shuffle
+    got = ex._ocr_media(few)
+    assert set(few) <= set(got)
+    assert ex.last_read_row_groups < n_groups  # did not read everything
+    # on the SORTED layout the same call keeps the cheap range path
+    ex2 = ShardExtractor(str(d / "media_sorted.parquet"), str(tmp_path / "o2"))
+    got2 = ex2._ocr_media(few)
+    assert {k: v for k, v in got2.items() if k in set(few)} == {
+        k: v for k, v in got.items() if k in set(few)
+    }
