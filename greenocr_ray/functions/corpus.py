@@ -812,7 +812,11 @@ def dup_ngram_stats(
         )
 
     return (
-        both.groupby("doc_id", num_partitions=nbuckets)
+        # num_partitions sized like the gram shuffle: every hash
+        # partition costs an aggregator ACTOR whose startup dominates
+        # small jobs (32 partitions measured +2s vs 8 at sf0.1); real
+        # deployments size this to data volume, not to nbuckets
+        both.groupby("doc_id", num_partitions=num_partitions)
         .aggregate(Sum("n_grams"), Sum("n_dup_grams"))
         .map_batches(finish, batch_format="pyarrow")
     )

@@ -51,6 +51,15 @@ class ExtractOptions:
     ocr_concurrency: tuple[int, int] | int = (1, 8)
     ocr_layout: str = "line"  # 'line' strips | 'page' (CC multi-line)
     cost_sort: bool = True  # G1: heavy-first LPT sort before the OCR pool
+    # run_extraction plan shape. False (default) = ONE streaming plan:
+    # typed part_id sentinels, no mid-plan copy of the flat span output
+    # — the only scale-safe choice (a materialize holds the entire
+    # corpus's spans in the object store). True = materialize barrier
+    # between extraction and the partition write: on a SINGLE small
+    # node the sequential phases avoid OCR-pool/shuffle-aggregator CPU
+    # contention (~15% faster at sf0.1/32cpu, quiet-box ABBA), at the
+    # cost of that full-output copy. Never the default.
+    plan_barrier: bool = False
 
 
 def _clean_spans_keep_media(batch: pa.Table) -> pa.Table:
@@ -477,17 +486,26 @@ def run_extraction(
         pids = partition_ids(t.column("doc_id"), n_parts)
         return t.append_column("part_id", pa.array(pids, type=pa.int32()))
 
-    # ONE streaming plan end-to-end (the round-3 materialize barrier is
-    # gone): typed sentinels pin every hash partition of the part_id
-    # shuffle, exactly like the streaming assembly path, so no target
-    # partition is ever empty/schema-less. PartitionWriter drops the
-    # sentinel rows and skips sentinel-only groups (done partitions,
-    # covering-only part_id values >= n_parts).
-    out = out.map_batches(add_part_id, batch_format="pyarrow").union(
-        rd.from_arrow(_span_sentinels(n_parts, "part_id"))
-    )
+    out = out.map_batches(add_part_id, batch_format="pyarrow")
+    if opts.plan_barrier:
+        # opt-in single-node fast path: sequential phases, full-output
+        # object-store copy (see ExtractOptions.plan_barrier)
+        from ..rayutil import drop_empty_blocks
+
+        out = drop_empty_blocks(out.materialize())
+        sentinel_doc = None
+    else:
+        # DEFAULT: ONE streaming plan end-to-end (the round-3
+        # materialize barrier is gone): typed sentinels pin every hash
+        # partition of the part_id shuffle, exactly like the streaming
+        # assembly path, so no target partition is ever empty/schema-
+        # less. PartitionWriter drops the sentinel rows and skips
+        # sentinel-only groups (done partitions, covering-only part_id
+        # values >= n_parts).
+        out = out.union(rd.from_arrow(_span_sentinels(n_parts, "part_id")))
+        sentinel_doc = _SENTINEL_ASSEMBLY_DOC
     lineage = out.groupby("part_id", num_partitions=opts.n_parts).map_groups(
-        PartitionWriter(out_dir, sentinel_doc=_SENTINEL_ASSEMBLY_DOC),
+        PartitionWriter(out_dir, sentinel_doc=sentinel_doc),
         batch_format="pyarrow",
     )
     df = lineage.to_pandas()
