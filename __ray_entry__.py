@@ -1209,6 +1209,131 @@ def _q_unigram_logprob(sf_dir: str) -> Any:
     return unigram_logprob(ds)
 
 
+def _q_bigram_logprob(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import bigram_logprob
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bigram_logprob(ds)
+
+
+def _q_inverted_index(sf_dir: str) -> Any:
+    import pandas as pd
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import inverted_index
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = inverted_index(ds, min_df=3, k_postings=5).to_pandas()
+    if not len(out.columns):  # all-pruned corpus loses its schema
+        out = pd.DataFrame(
+            {
+                "term": pd.Series([], dtype="object"),
+                "df": pd.Series([], dtype="int64"),
+                "postings": pd.Series([], dtype="object"),
+            }
+        )
+    return out.sort_values("term").reset_index(drop=True)
+
+
+def _q_temperature_mix(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import temperature_mix
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return temperature_mix(ds, alpha=0.5)
+
+
+def _q_pca_projection(sf_dir: str) -> Any:
+    """Distributed PCA, machine-gated on its own invariants: the
+    component rows must be orthonormal, explained variances sorted
+    descending, and the mean per-row reconstruction error (an
+    INDEPENDENT streaming pass) must equal the discarded eigenvalue
+    mass — the Eckart-Young identity Σ_{i>k} λ_i = E||x − x̂||².
+    n_points cross-checks that the projection pass dropped no rows."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from greenocr_ray.functions.similarity import pca_fit, pca_project
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    k = 8
+    mean, comps, evar, n_fit = pca_fit(ds, k=k)
+    projected = pca_project(ds, mean, comps)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n": pa.array([len(t)], type=pa.int64()),
+                "s": pa.array(
+                    [float(np.sum(t.column("recon_err").to_numpy()))],
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    folded = projected.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n_points = int(folded["n"].sum())
+    mean_err = float(folded["s"].sum()) / max(n_points, 1)
+    gram = comps @ comps.T
+    orthonormal = bool(
+        np.allclose(gram, np.eye(len(comps)), atol=1e-9)
+    )
+    var_ordered = bool(np.all(np.diff(evar) <= 1e-12))
+    # total variance from the SAME moments the fit used is not
+    # independent; recompute trace(cov) from the residual identity:
+    # mean_err must equal Σ all eigenvalues − Σ kept eigenvalues
+    cov_trace = _pca_cov_trace(ds)
+    recon_consistent = bool(
+        abs(mean_err - (cov_trace - float(evar.sum())))
+        <= 1e-6 * max(cov_trace, 1.0)
+    )
+    return pd.DataFrame(
+        {
+            "k": pd.array([k], dtype="int64"),
+            "n_points": pd.array([n_points], dtype="int64"),
+            "orthonormal": [orthonormal],
+            "var_ordered": [var_ordered],
+            "recon_consistent": [recon_consistent],
+        }
+    )
+
+
+def _pca_cov_trace(ds: Any) -> float:
+    """Independent covariance-trace pass (Σ E[x_j²] − E[x_j]²) used
+    by the PCA machine gate: per-batch (n, Σx, Σx²) partials only."""
+    import numpy as np
+    import pyarrow as pa
+
+    from greenocr_ray.functions.similarity import _batch_matrix
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, m = _batch_matrix(t)
+        return pa.table(
+            {
+                "n": pa.array([m.shape[0]], type=pa.int64()),
+                "s": pa.array([m.sum(axis=0)], type=pa.list_(pa.float64())),
+                "s2": pa.array(
+                    [(m * m).sum(axis=0)], type=pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = float(parts["n"].sum())
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    s2 = np.sum(np.stack(parts["s2"].to_numpy()), axis=0)
+    return float(np.sum(s2 / n - (s / n) ** 2))
+
+
 def _q_props_stats(sf_dir: str) -> Any:
     import ray.data as rd
 
@@ -1273,6 +1398,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gate come FIRST, so a capped driver pass covers them
         # (VERDICT r3 next-step #9); all entries pass the local
         # gate mimic (tools/check_oracle.py) either way.
+        "bigram_logprob": _q_bigram_logprob,
+        "inverted_index": _q_inverted_index,
+        "temperature_mix": _q_temperature_mix,
+        "pca_projection": _q_pca_projection,
         "media_audio": _q_media_audio,
         "media_video": _q_media_video,
         "extract_entities": _q_extract_entities,
@@ -2367,6 +2496,62 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
               SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS token
               FROM documents
             ) GROUP BY token ORDER BY n DESC, token LIMIT 20
+        """,
+        "bigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\\w+')) AS tok,
+                     generate_subscripts(
+                       regexp_extract_all(lower(text), '\\w+'), 1) AS pos
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id,
+                     lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+                     tok AS w2
+              FROM toks
+              QUALIFY w1 IS NOT NULL
+            ),
+            cnt AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c
+                    FROM bg GROUP BY 1, 2),
+            lc AS (SELECT w1, CAST(count(*) AS DOUBLE) AS cl
+                   FROM bg GROUP BY 1)
+            SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   ROUND(avg(ln(cnt.c) - ln(lc.cl)), 6) AS avg_logprob
+            FROM bg b JOIN cnt ON b.w1 = cnt.w1 AND b.w2 = cnt.w2
+                      JOIN lc ON b.w1 = lc.w1
+            GROUP BY b.doc_id ORDER BY b.doc_id
+        """,
+        "inverted_index": """
+            WITH tok AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\\w+')) AS term
+              FROM documents
+            )
+            SELECT term, CAST(count(*) AS BIGINT) AS df,
+                   array_to_string(
+                     (list(doc_id ORDER BY doc_id))[1:5], ',') AS postings
+            FROM tok GROUP BY term HAVING count(*) >= 3 ORDER BY term
+        """,
+        "temperature_mix": """
+            WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+                       FROM documents GROUP BY source),
+            r AS (SELECT source,
+                         pow(n / (SELECT min(n) FROM c), -0.5) AS rate
+                  FROM c)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r USING (source)
+            WHERE (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                        AS UBIGINT) + 0.5) / 1152921504606846976.0 < r.rate
+            ORDER BY d.doc_id
+        """,
+        "pca_projection": """
+            SELECT CAST(8 AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS n_points,
+                   TRUE AS orthonormal,
+                   TRUE AS var_ordered,
+                   TRUE AS recon_consistent
+            FROM embeddings
         """,
         "unigram_logprob": """
             WITH toks AS (

@@ -1837,3 +1837,266 @@ def snapshot_diff(
             }
         )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ------------------------------------------------ bigram LM scoring
+
+
+def _bg_rows(t: pa.Table, nbuckets: int) -> pa.Table:
+    """Per-batch (bucket, w1, w2, doc_id, tf) bigram rows — one row
+    per distinct (doc, bigram) pair, bucketed by crc32 of the LEFT
+    token. Co-locating a left token's rows in one bucket makes BOTH
+    the bigram count c(w1,w2) AND the left-context count c(w1) exact
+    inside that bucket task — the whole conditional P(w2|w1) resolves
+    with one shuffle and no global state. Exchange volume is bounded
+    by total distinct (doc, bigram) pairs (token-scale), same class
+    as tf-idf's tf rows."""
+    import zlib
+
+    from collections import Counter
+
+    bucket_cache: dict[str, int] = {}
+    ids, w1s, w2s, tfs, buckets = [], [], [], [], []
+    for did, s in zip(
+        t.column("doc_id").to_pylist(),
+        pc.utf8_lower(t.column("text")).to_pylist(),
+    ):
+        toks = _TOKEN_RE.findall(s)
+        for (a, b), c in Counter(zip(toks, toks[1:])).items():
+            bk = bucket_cache.get(a)
+            if bk is None:
+                bk = zlib.crc32(a.encode("utf-8")) % nbuckets
+                bucket_cache[a] = bk
+            ids.append(did)
+            w1s.append(a)
+            w2s.append(b)
+            tfs.append(c)
+            buckets.append(bk)
+    return pa.table(
+        {
+            "bucket": pa.array(buckets, type=pa.int32()),
+            "w1": pa.array(w1s, type=pa.string()),
+            "w2": pa.array(w2s, type=pa.string()),
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "tf": pa.array(tfs, type=pa.int64()),
+        }
+    )
+
+
+def _bg_sentinels(nbuckets: int, num_partitions: int) -> pa.Table:
+    """Typed sentinel bigram rows pinned to every hash partition of
+    the left-token shuffle (the _tf_sentinels technique) so no
+    partition is ever empty/schema-less and the downstream doc_id
+    groupby streams without a materialize barrier."""
+    from ..rayutil import covering_bucket_values
+
+    vals = covering_bucket_values(nbuckets, num_partitions)
+    n = len(vals)
+    return pa.table(
+        {
+            "bucket": pa.array(vals, type=pa.int32()),
+            "w1": pa.array([_SENTINEL_TERM] * n, type=pa.string()),
+            "w2": pa.array([_SENTINEL_TERM] * n, type=pa.string()),
+            "doc_id": pa.array([-1] * n, type=pa.int64()),
+            "tf": pa.array([0] * n, type=pa.int64()),
+        }
+    )
+
+
+def bigram_logprob(docs: rd.Dataset, nbuckets: int = 32) -> pd.DataFrame:
+    """Per-doc mean bigram log-probability under the corpus's own
+    MLE bigram LM — the CCNet/KenLM-style perplexity quality filter
+    (low mean logprob = incoherent token order, even when every
+    unigram is common). P(w2|w1) = c(w1,w2)/c(w1) with counts over
+    all bigram positions; docs with < 2 tokens emit no row (inner-
+    join semantics, matches the oracle).
+
+    End-to-end distributed with NO vocabulary-scale driver state:
+    one tokenization pass emits (bucket, w1, w2, doc_id, tf) rows
+    bucketed by the LEFT token, so each bucket task holds every
+    occurrence of its left tokens and computes exact c(w1,w2) and
+    c(w1); per-doc partials (Σ tf·(ln c − ln cl), Σ tf) then fold in
+    a sort-based doc_id groupby in the SAME streaming plan (typed
+    sentinels keep every hash partition schemaed). Unlike the unigram
+    score, no global scalar is needed at all — the conditional
+    normalizer is bucket-local.
+    -> (doc_id, n_bigrams, avg_logprob) rows."""
+
+    def bucket_partial(g: pd.DataFrame) -> pa.Table:
+        g = g[g["w1"] != _SENTINEL_TERM]
+        if not len(g):
+            # sentinel-only group: one typed CARRIER row (doc_id -1,
+            # filtered at the edge; see tfidf_top_terms_ds)
+            return pa.table(
+                {
+                    "doc_id": pa.array([-1], type=pa.int64()),
+                    "n_bg": pa.array([0], type=pa.int64()),
+                    "logsum": pa.array([0.0], type=pa.float64()),
+                }
+            )
+        cl = g.groupby("w1", sort=False)["tf"].sum()
+        cbg = g.groupby(["w1", "w2"], sort=False)["tf"].sum()
+        log_c = np.log(
+            cbg.reindex(
+                pd.MultiIndex.from_arrays([g["w1"], g["w2"]])
+            ).to_numpy(dtype=np.float64)
+        )
+        log_cl = np.log(cl.reindex(g["w1"]).to_numpy(dtype=np.float64))
+        tf = g["tf"].to_numpy(dtype=np.float64)
+        part = (
+            pd.DataFrame(
+                {
+                    "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                    "n_bg": g["tf"].to_numpy(dtype=np.int64),
+                    "logsum": tf * (log_c - log_cl),
+                }
+            )
+            .groupby("doc_id", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    def fold_doc(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": [int(g["doc_id"].iloc[0])],
+                "n_bigrams": [int(g["n_bg"].sum())],
+                "logsum": [float(g["logsum"].sum())],
+            }
+        )
+
+    num_partitions = min(nbuckets, 8)
+    folded = (
+        docs.map_batches(
+            lambda t: _bg_rows(t, nbuckets), batch_format="pyarrow"
+        )
+        .union(rd.from_arrow(_bg_sentinels(nbuckets, num_partitions)))
+        .groupby("bucket", num_partitions=num_partitions)
+        .map_groups(bucket_partial, batch_format="pandas")
+        .groupby("doc_id")
+        .map_groups(fold_doc, batch_format="pandas")
+    )
+    out = folded.to_pandas()
+    out = out[out["doc_id"] >= 0]  # drop sentinel carrier rows
+    if not len(out):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_bigrams": pd.Series([], dtype="int64"),
+                "avg_logprob": pd.Series([], dtype="float64"),
+            }
+        )
+    raw = out["logsum"].to_numpy() / out["n_bigrams"].to_numpy()
+    out["avg_logprob"] = round_half_away(raw, 6)
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    out["n_bigrams"] = out["n_bigrams"].astype("int64")
+    return out[["doc_id", "n_bigrams", "avg_logprob"]]
+
+
+# ------------------------------------------------ inverted index
+
+
+def inverted_index(
+    docs: rd.Dataset,
+    min_df: int = 3,
+    k_postings: int = 5,
+    nbuckets: int = 32,
+) -> rd.Dataset:
+    """Distributed inverted-index build: term -> exact document
+    frequency + the first ``k_postings`` doc_ids ascending, rendered
+    as a comma string (the seek-list head a retrieval layer stores
+    per term). Terms with df < ``min_df`` are pruned INSIDE the
+    bucket task, so junk hapax vocabulary never crosses a second
+    exchange. Reuses tf-idf's (bucket, term, doc_id, tf) rows — one
+    token-scale hash shuffle, exact df within each bucket (a term's
+    rows all land in its bucket), nothing vocabulary-scale on the
+    driver. Returns a Dataset (vocabulary-bounded output); collect
+    only at the edge."""
+
+    def postings(g: pd.DataFrame) -> pa.Table:
+        g = g[g["term"] != _SENTINEL_TERM]
+        if not len(g):
+            # typed carrier row (df 0, filtered at the edge)
+            return pa.table(
+                {
+                    "term": pa.array([_SENTINEL_TERM], type=pa.string()),
+                    "df": pa.array([0], type=pa.int64()),
+                    "postings": pa.array([""], type=pa.string()),
+                }
+            )
+        terms, dfs, posts = [], [], []
+        for term, ids in g.groupby("term", sort=False)["doc_id"]:
+            arr = np.unique(ids.to_numpy(dtype=np.int64))
+            if len(arr) < min_df:
+                continue
+            terms.append(term)
+            dfs.append(len(arr))
+            posts.append(",".join(str(d) for d in arr[:k_postings]))
+        if not terms:  # every term pruned: keep the block typed
+            terms, dfs, posts = [_SENTINEL_TERM], [0], [""]
+        return pa.table(
+            {
+                "term": pa.array(terms, type=pa.string()),
+                "df": pa.array(dfs, type=pa.int64()),
+                "postings": pa.array(posts, type=pa.string()),
+            }
+        )
+
+    def drop_carriers(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("df"), 0))
+
+    num_partitions = min(nbuckets, 8)
+    return (
+        docs.map_batches(
+            lambda t: _tf_rows(t, nbuckets), batch_format="pyarrow"
+        )
+        .union(rd.from_arrow(_tf_sentinels(nbuckets, num_partitions)))
+        .groupby("bucket", num_partitions=num_partitions)
+        .map_groups(postings, batch_format="pandas")
+        .map_batches(drop_carriers, batch_format="pyarrow")
+    )
+
+
+# ------------------------------------------------ temperature mixing
+
+
+def temperature_mix(docs: rd.Dataset, alpha: float = 0.5) -> rd.Dataset:
+    """Temperature-based source rebalancing (the multilingual-LM
+    sampling rule, p_s ∝ n_s^alpha): downsample-only keep rates
+    r_s = (n_s/n_min)^(alpha-1) — the smallest source keeps
+    everything, big sources are flattened toward it; alpha=1 is a
+    no-op, alpha=0 equalizes all sources. Same machinery as
+    mix_sources: one bounded-cardinality count pass, then the tiny
+    rate map rides a closure into a vectorized md5-rule filter —
+    shuffle-free, reproducible, SQL-checkable."""
+    counts = combine_small_agg(
+        docs.map_batches(
+            lambda t: t.to_pandas()
+            .groupby("source", sort=False)
+            .size()
+            .rename("n")
+            .reset_index(),
+            batch_format="pyarrow",
+            batch_size=65536,
+        ),
+        ["source"],
+        {"n": "sum"},
+    )
+    n_map = dict(zip(counts["source"], counts["n"].astype(float)))
+    n_min = min(n_map.values())
+    rate = {s: (n / n_min) ** (alpha - 1.0) for s, n in n_map.items()}
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["source"].map(rate).fillna(0.0).to_numpy(dtype=np.float64)
+        u = np.array(
+            [
+                (int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) + 0.5)
+                / float(1 << 60)
+                for d in df["doc_id"]
+            ],
+            dtype=np.float64,
+        )
+        return df[u < r]
+
+    return docs.map_batches(keep, batch_format="pandas", batch_size=65536)

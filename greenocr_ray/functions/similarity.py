@@ -660,3 +660,88 @@ def kmeans_assign(embeddings: rd.Dataset, centroids: np.ndarray) -> rd.Dataset:
         )
 
     return embeddings.map_batches(assign, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- PCA
+
+
+def pca_fit(
+    embeddings: rd.Dataset, k: int = 8
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Distributed PCA fit via streaming covariance partials — the
+    dimensionality-reduction front end for embedding indexes (OPQ/IVF
+    preprocessing) and redundancy analysis.
+
+    ONE map_batches pass emits per-batch (Σx, Σ xᵀx, n) moment
+    partials — a d-vector plus a d×d matrix per BATCH, so the driver
+    fold is O(d² × blocks) and independent of corpus size (d = 64
+    here; at 100 TB the fold is still megabytes). The d×d covariance
+    eigendecomposition runs on the driver (trivial at embedding
+    dims), components carry a deterministic sign convention (largest-
+    |coefficient| entry made positive) so results are reproducible
+    across block orders. No shuffle anywhere.
+
+    Returns (mean, components[k,d] row-major, explained_var[k],
+    n_rows); eigenvalues sorted descending."""
+    def moments(batch: pa.Table) -> pa.Table:
+        _, m = _batch_matrix(batch)
+        s = m.sum(axis=0)
+        ss = m.T @ m
+        return pa.table(
+            {
+                "n": pa.array([m.shape[0]], type=pa.int64()),
+                "s": pa.array([s], type=pa.list_(pa.float64())),
+                "ss": pa.array([ss.ravel()], type=pa.list_(pa.float64())),
+            }
+        )
+
+    parts = embeddings.map_batches(
+        moments, batch_format="pyarrow"
+    ).to_pandas()
+    n = int(parts["n"].sum())
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    d = s.shape[0]
+    ss = np.sum(np.stack(parts["ss"].to_numpy()), axis=0).reshape(d, d)
+    mean = s / n
+    # E[xxᵀ] − μμᵀ, symmetrized against float drift
+    cov = ss / n - np.outer(mean, mean)
+    cov = (cov + cov.T) * 0.5
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T.copy()
+    # deterministic sign: flip each component so its largest-|.|
+    # coefficient is positive (eigh sign is arbitrary)
+    for row in comps:
+        j = np.argmax(np.abs(row))
+        if row[j] < 0:
+            row *= -1.0
+    return mean, comps, np.maximum(evals[order], 0.0), n
+
+
+def pca_project(
+    embeddings: rd.Dataset, mean: np.ndarray, components: np.ndarray
+) -> rd.Dataset:
+    """Streaming projection pass: components broadcast once via
+    ``ray.put``, one matmul per batch. Emits (vec_id, proj, recon_err)
+    — recon_err = ||x − (μ + Wᵀ(W(x−μ)))||², the per-row residual a
+    caller can aggregate to verify the fit (Σ recon_err/n equals the
+    discarded eigenvalue mass, a machine-checkable invariant)."""
+    ref = ray.put((np.asarray(mean), np.asarray(components)))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mu, w = ray.get(ref)
+        ids, m = _batch_matrix(batch)
+        xc = m - mu[None, :]
+        p = xc @ w.T
+        resid = xc - p @ w
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "proj": pa.array(list(p), type=pa.list_(pa.float64())),
+                "recon_err": pa.array(
+                    (resid * resid).sum(axis=1), type=pa.float64()
+                ),
+            }
+        )
+
+    return embeddings.map_batches(project, batch_format="pyarrow")

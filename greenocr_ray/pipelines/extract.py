@@ -51,15 +51,20 @@ class ExtractOptions:
     ocr_concurrency: tuple[int, int] | int = (1, 8)
     ocr_layout: str = "line"  # 'line' strips | 'page' (CC multi-line)
     cost_sort: bool = True  # G1: heavy-first LPT sort before the OCR pool
-    # run_extraction plan shape. False (default) = ONE streaming plan:
-    # typed part_id sentinels, no mid-plan copy of the flat span output
-    # — the only scale-safe choice (a materialize holds the entire
-    # corpus's spans in the object store). True = materialize barrier
-    # between extraction and the partition write: on a SINGLE small
-    # node the sequential phases avoid OCR-pool/shuffle-aggregator CPU
-    # contention (~15% faster at sf0.1/32cpu, quiet-box ABBA), at the
-    # cost of that full-output copy. Never the default.
-    plan_barrier: bool = False
+    # run_extraction plan shape. False = ONE streaming plan: typed
+    # part_id sentinels, no mid-plan copy of the flat span output —
+    # the only scale-safe choice on a real cluster (a materialize
+    # holds the entire corpus's spans in the object store). True =
+    # materialize barrier between extraction and the partition write:
+    # sequential phases avoid OCR-pool/shuffle-aggregator CPU
+    # contention (~15% faster at sf0.1/32cpu; at <=8 CPUs the one-plan
+    # shape's fixed reservations — two shuffle aggregator sets + the
+    # OCR pool floor + read tasks — exceed the whole budget and the
+    # plan crawls). None (default) = adaptive: barrier on a
+    # single-NODE cluster (data is node-bounded anyway and the
+    # contention is real), streaming on multi-node (where the
+    # full-output copy would be corpus-scale).
+    plan_barrier: bool | None = None
 
 
 def _clean_spans_keep_media(batch: pa.Table) -> pa.Table:
@@ -349,6 +354,20 @@ def _needed_media_refs(docs: rd.Dataset) -> rd.Dataset:
     )
 
 
+def _single_node_cluster() -> bool:
+    """True when the live Ray cluster is one node — the adaptive
+    plan_barrier predicate (see ExtractOptions). Conservative on any
+    error: answer False (the streaming plan is always correct)."""
+    try:
+        import ray
+
+        if not ray.is_initialized():
+            return False
+        return sum(1 for n in ray.nodes() if n.get("Alive")) <= 1
+    except Exception:
+        return False
+
+
 def _filter_media_to_remaining(
     docs: rd.Dataset, media: rd.Dataset, n_done: int, opts: ExtractOptions
 ) -> rd.Dataset:
@@ -487,7 +506,12 @@ def run_extraction(
         return t.append_column("part_id", pa.array(pids, type=pa.int32()))
 
     out = out.map_batches(add_part_id, batch_format="pyarrow")
-    if opts.plan_barrier:
+    barrier = (
+        opts.plan_barrier
+        if opts.plan_barrier is not None
+        else _single_node_cluster()
+    )
+    if barrier:
         # opt-in single-node fast path: sequential phases, full-output
         # object-store copy (see ExtractOptions.plan_barrier)
         from ..rayutil import drop_empty_blocks

@@ -306,3 +306,190 @@ def test_tfidf_distributed_no_vocab_broadcast(ray_session):
         want = np.mean([np.log(cnt[w] / total) for w in ws])
         assert abs(lm.loc[d, "avg_logprob"] - want) < 1e-5
         assert lm.loc[d, "n_tokens"] == len(ws)
+
+
+# ---------------------------------------------- round-4 additions
+
+
+def test_bigram_logprob_golden(ray_session):
+    """Distributed bigram LM score matches a driver-side brute force
+    (MLE P(w2|w1) over all bigram positions); <2-token docs emit no
+    row."""
+    from collections import Counter
+
+    from greenocr_ray.functions.corpus import bigram_logprob
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran"),
+        (3, "mat the cat the cat sat"),
+        (4, "single"),          # 1 token -> no bigrams -> no row
+        (5, ""),                # empty -> no row
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": [r[1] for r in rows],
+            }
+        )
+    )
+    out = bigram_logprob(ds).set_index("doc_id")
+
+    docs = {d: t.lower().split() for d, t in rows}
+    bg_all = Counter()
+    left_all = Counter()
+    for ws in docs.values():
+        bg_all.update(zip(ws, ws[1:]))
+        left_all.update(ws[:-1])
+    for d, ws in docs.items():
+        bgs = list(zip(ws, ws[1:]))
+        if not bgs:
+            assert d not in out.index
+            continue
+        want = np.mean(
+            [np.log(bg_all[b] / left_all[b[0]]) for b in bgs]
+        )
+        assert out.loc[d, "n_bigrams"] == len(bgs)
+        assert abs(out.loc[d, "avg_logprob"] - want) < 1e-6
+    # a deterministic always-repeated bigram has logprob 0 contribution
+    assert out.loc[2, "avg_logprob"] < 0  # 'the cat' is not the only pair
+
+
+def test_bigram_logprob_no_vocab_broadcast(ray_session):
+    """The conditional-LM fold is bucket-local: no vocabulary-scale
+    driver broadcast even with vocab >> any cap."""
+    import ray as _ray
+
+    from greenocr_ray.functions.corpus import bigram_logprob
+
+    rows = _big_vocab_docs()
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": [r[1] for r in rows],
+            }
+        )
+    )
+    big_puts = []
+    orig_put = _ray.put
+
+    def spy_put(obj, *a, **kw):
+        if isinstance(obj, (dict, set, frozenset)) and len(obj) > 64:
+            big_puts.append(len(obj))
+        return orig_put(obj, *a, **kw)
+
+    _ray.put = spy_put
+    try:
+        out = bigram_logprob(ds)
+    finally:
+        _ray.put = orig_put
+    assert big_puts == []
+    assert len(out) == len(rows)
+    assert (out["avg_logprob"] <= 1e-12).all()  # log-probs are <= 0
+
+
+def test_inverted_index_golden(ray_session):
+    from collections import defaultdict
+
+    from greenocr_ray.functions.corpus import inverted_index
+
+    rows = [
+        (10, "alpha beta gamma"),
+        (11, "alpha beta"),
+        (12, "alpha delta delta"),   # dup term counts once for df
+        (13, "beta alpha"),
+        (14, "epsilon"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": [r[1] for r in rows],
+            }
+        )
+    )
+    out = (
+        inverted_index(ds, min_df=2, k_postings=2)
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    want = defaultdict(list)
+    for d, t in rows:
+        for w in set(t.split()):
+            want[w].append(d)
+    want = {
+        w: sorted(ids) for w, ids in want.items() if len(ids) >= 2
+    }
+    assert list(out["term"]) == sorted(want)
+    for _, r in out.iterrows():
+        ids = want[r["term"]]
+        assert r["df"] == len(ids)
+        assert r["postings"] == ",".join(str(i) for i in ids[:2])
+
+
+def test_temperature_mix_rates(ray_session):
+    from greenocr_ray.functions.corpus import temperature_mix
+
+    n_a, n_b = 4000, 250
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    list(range(n_a + n_b)), type=pa.int64()
+                ),
+                "source": ["big"] * n_a + ["small"] * n_b,
+            }
+        )
+    )
+    # alpha=1: identity (every rate is 1, u < 1 always)
+    assert temperature_mix(ds, alpha=1.0).count() == n_a + n_b
+    # alpha=0.5: small source fully kept, big source ~sqrt(n_min/n)
+    out = temperature_mix(ds, alpha=0.5).to_pandas()
+    kept = out["source"].value_counts()
+    assert kept["small"] == n_b
+    want_big = n_a * (n_a / n_b) ** -0.5
+    assert abs(kept["big"] - want_big) < 4 * np.sqrt(want_big)
+    # deterministic: same selection twice
+    out2 = temperature_mix(ds, alpha=0.5).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_pca_fit_matches_numpy(ray_session):
+    """Distributed moment-partial PCA == driver numpy PCA on the same
+    rows; Eckart-Young residual identity holds."""
+    from greenocr_ray.functions.similarity import pca_fit, pca_project
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    d, n, k = 6, 500, 3
+    # anisotropic cloud: variance concentrated on the first axes
+    scales = np.array([10.0, 5.0, 2.0, 1.0, 0.5, 0.1])
+    x = rng.normal(size=(n, d)) * scales + rng.normal(size=d)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), type=pa.int64()),
+                "embedding": pa.array(list(x), type=pa.list_(pa.float64())),
+            }
+        )
+    )
+    mean, comps, evar, n_fit = pca_fit(ds, k=k)
+    assert n_fit == n
+    np.testing.assert_allclose(mean, x.mean(axis=0), atol=1e-9)
+    cov = np.cov(x.T, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    np.testing.assert_allclose(evar, evals[order], rtol=1e-9)
+    for i, row in enumerate(comps):
+        ref = evecs[:, order[i]]
+        j = np.argmax(np.abs(ref))
+        if ref[j] < 0:
+            ref = -ref
+        np.testing.assert_allclose(row, ref, atol=1e-8)
+    # projection residual == discarded eigenvalue mass (per-mean)
+    proj = pca_project(ds, mean, comps).to_pandas()
+    assert len(proj) == n
+    mean_err = proj["recon_err"].mean()
+    assert abs(mean_err - evals[np.argsort(evals)[::-1][k:]].sum()) < 1e-9

@@ -179,7 +179,14 @@ def test_fresh_run_is_one_streaming_plan(tmp_path, monkeypatch):
 
     data_dir = str(tmp_path / "data")
     paths = write_corpus(data_dir, n_docs=12, seed=5)
-    opts = ExtractOptions(n_parts=4, join_partitions=2, ocr_concurrency=(1, 2))
+    # plan_barrier=False forces the streaming shape (the adaptive
+    # default resolves to the barrier on this single-node test cluster)
+    opts = ExtractOptions(
+        n_parts=4,
+        join_partitions=2,
+        ocr_concurrency=(1, 2),
+        plan_barrier=False,
+    )
 
     calls = []
     orig = rd.Dataset.materialize
@@ -194,3 +201,12 @@ def test_fresh_run_is_one_streaming_plan(tmp_path, monkeypatch):
     assert calls == [], "materialize barrier reappeared in run_extraction"
     assert (lin["status"] == "done").all()
     assert len(_read_all_parts(out)) == 12
+
+
+def test_plan_barrier_adaptive_default(ray_session):
+    """On this single-node test cluster the adaptive default resolves
+    to the barrier plan (multi-node resolves to streaming)."""
+    from greenocr_ray.pipelines.extract import _single_node_cluster
+
+    assert _single_node_cluster() is True
+    assert ExtractOptions().plan_barrier is None
