@@ -1390,6 +1390,63 @@ def _q_approx_distinct_tokens(sf_dir: str) -> Any:
     )
 
 
+
+def _q_corr_stats(sf_dir: str) -> Any:
+    from greenocr_ray.functions.relational import q_corr_stats
+
+    return q_corr_stats(sf_dir)
+
+
+def _q_local_supplier_volume(sf_dir: str) -> Any:
+    from greenocr_ray.functions.relational import q_local_supplier_volume
+
+    return q_local_supplier_volume(sf_dir)
+
+
+def _q_collocations(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import collocations
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return collocations(docs, k=20, min_count=5)
+
+
+def _q_semdedup(sf_dir: str) -> Any:
+    """Machine-gated SemDeDup: every cluster-interior pair must also
+    be an exact all-pairs near-dup (precision 1.0 — same normalize +
+    matmul math, asserted as a strict subset), and multi-probe recall
+    vs the exact (oracle-green) pair set must be >= 0.8 (measured
+    0.93 at k=4, probes=2 on the test embeddings). The oracle
+    recomputes the exact pair count in SQL so a broken exact side
+    cannot mask a broken clustered side."""
+    import pandas as pd
+    import ray.data as rd
+
+    from greenocr_ray.functions.similarity import (
+        embedding_near_dup_pairs,
+        semdedup_pairs,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    exact = embedding_near_dup_pairs(ds, threshold=0.4)
+    clustered = semdedup_pairs(ds, k=4, threshold=0.4, probes=2)
+    ex = set(zip(exact["vec_a"], exact["vec_b"]))
+    cl = set(zip(clustered["vec_a"], clustered["vec_b"]))
+    recall = len(ex & cl) / max(len(ex), 1)
+    return pd.DataFrame(
+        {
+            "n_exact_pairs": pd.array([len(ex)], dtype="int64"),
+            "subset_ok": [bool(cl <= ex)],
+            "recall_ok": [bool(recall >= 0.8)],
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from greenocr_ray.functions import relational as R
 
@@ -1489,6 +1546,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stopwords": _q_stopwords,
         "split_leakage": _q_split_leakage,
         "snapshot_diff": _q_snapshot_diff,
+        "corr_stats": _q_corr_stats,
+        "local_supplier_volume": _q_local_supplier_volume,
+        "collocations": _q_collocations,
+        "semdedup": _q_semdedup,
     }
 
 
@@ -2585,5 +2646,68 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    COALESCE(n_shared, 0) >= 5 AS contaminated
             FROM documents d LEFT JOIN hits USING (doc_id)
             WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id
+        """,
+        "corr_stats": """
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   ROUND(corr(l_quantity, l_extendedprice), 6)
+                     AS corr_qty_price,
+                   ROUND(covar_pop(l_quantity, l_extendedprice), 4)
+                     AS covar_pop
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "local_supplier_volume": """
+            -- intermediate ROUND at the products' exact decimal
+            -- precision (4dp) absorbs summation-order ulps — the
+            -- q1_pricing_summary idiom
+            SELECT n_name,
+                   ROUND(ROUND(sum(l_extendedprice * (1 - l_discount)),
+                         4), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+            WHERE c_nationkey = s_nationkey
+            GROUP BY n_name ORDER BY revenue DESC, n_name
+        """,
+        "collocations": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\w+')) AS tok,
+                     generate_subscripts(
+                       regexp_extract_all(lower(text), '\w+'), 1) AS pos
+              FROM documents
+            ),
+            bg AS (
+              SELECT lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+                     tok AS w2
+              FROM toks QUALIFY w1 IS NOT NULL
+            ),
+            cb AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+            cu AS (SELECT tok AS w, count(*) AS c FROM toks GROUP BY 1),
+            tot AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM toks) AS nt,
+                           (SELECT CAST(count(*) AS DOUBLE) FROM bg) AS nb),
+            scored AS (
+              SELECT cb.w1, cb.w2, cb.c12,
+                     ln(CAST(cb.c12 AS DOUBLE)) - ln(CAST(u1.c AS DOUBLE))
+                       - ln(CAST(u2.c AS DOUBLE)) AS score
+              FROM cb JOIN cu u1 ON cb.w1 = u1.w JOIN cu u2 ON cb.w2 = u2.w
+              WHERE cb.c12 >= 5
+            )
+            SELECT w1, w2, CAST(c12 AS BIGINT) AS n,
+                   ROUND((score - ln(nb)) + 2 * ln(nt), 6) AS pmi,
+                   CAST(row_number() OVER (ORDER BY score DESC, w1, w2)
+                     AS BIGINT) AS rank
+            FROM scored, tot
+            ORDER BY rank LIMIT 20
+        """,
+        "semdedup": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+                   TRUE AS subset_ok,
+                   TRUE AS recall_ok
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
         """,
     }

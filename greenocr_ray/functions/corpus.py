@@ -1631,9 +1631,17 @@ def detect_stopwords(docs: rd.Dataset, n_docs: int | None = None) -> pd.DataFram
     else:  # vocab-scale shuffle path (same policy as tfidf_top_terms)
         from ray.data.aggregate import Sum
 
+        # Threshold INSIDE the plan so only the (small) stopword set
+        # reaches the driver — the merged vocab table never does.
         dfs = (
             parts.groupby("token")
             .aggregate(Sum("df", alias_name="df"))
+            .map_batches(
+                lambda t, _n=n: t.filter(
+                    pc.greater_equal(pc.multiply(t.column("df"), 2), _n)
+                ),
+                batch_format="pyarrow",
+            )
             .to_pandas()
         )
     sel = dfs[dfs["df"] * 2 >= n].copy()
@@ -2100,3 +2108,224 @@ def temperature_mix(docs: rd.Dataset, alpha: float = 0.5) -> rd.Dataset:
         return df[u < r]
 
     return docs.map_batches(keep, batch_format="pandas", batch_size=65536)
+
+
+# ------------------------------------------------ PMI collocations
+
+
+def collocations(
+    docs: rd.Dataset, k: int = 20, min_count: int = 5, nbuckets: int = 32
+) -> pd.DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information: pmi = ln(c12/nb) − ln(c1/nt) − ln(c2/nt) over bigrams
+    with c12 ≥ min_count (c1/c2 = full unigram counts, nt/nb = total
+    token/bigram positions). The classic collocation-extraction shape
+    (Church & Hanks 1990).
+
+    Distributed design — exact, NO vocabulary-scale driver state:
+    ONE tokenization pass emits unigram partials bucketed by
+    crc32(token), bigram partials bucketed by crc32(w1) (same hash, so
+    a bucket task holds every partial of its tokens), plus one
+    (nt, nb) totals row per batch. Shuffle 1 (bucket): exact c(t) and
+    c(w1,w2) per bucket, min_count prune, attach c1 locally; re-key
+    candidates by crc32(w2). Shuffle 2: attach c2 from the co-located
+    exact unigram rows, then per-bucket partial top-k on the
+    rank-equivalent score ln(c12)−ln(c1)−ln(c2) (the +2ln(nt)−ln(nb)
+    constant shifts every bigram equally, so per-bucket top-k merges
+    exactly). Driver folds k·nbuckets candidate rows + O(#blocks)
+    totals rows. Typed sentinels keep both hash shuffles streaming.
+    -> (w1, w2, n, pmi, rank), pmi desc, ties (w1, w2) asc.
+    """
+    import zlib
+
+    from collections import Counter
+
+    from ..rayutil import covering_bucket_values
+
+    num_partitions = min(nbuckets, 8)
+
+    def rows_partial(t: pa.Table) -> pa.Table:
+        uni: Counter = Counter()
+        big: Counter = Counter()
+        nt = nb = 0
+        for s in pc.utf8_lower(t.column("text")).to_pylist():
+            toks = _TOKEN_RE.findall(s)
+            nt += len(toks)
+            nb += max(len(toks) - 1, 0)
+            uni.update(toks)
+            big.update(zip(toks, toks[1:]))
+        buckets, kinds, w1s, w2s, cs = [], [], [], [], []
+        for tok, c in uni.items():
+            buckets.append(zlib.crc32(tok.encode("utf-8")) % nbuckets)
+            kinds.append("u")
+            w1s.append(tok)
+            w2s.append("")
+            cs.append(c)
+        for (a, b), c in big.items():
+            buckets.append(zlib.crc32(a.encode("utf-8")) % nbuckets)
+            kinds.append("b")
+            w1s.append(a)
+            w2s.append(b)
+            cs.append(c)
+        # per-batch totals ride bucket 0 through both shuffles
+        buckets += [0, 0]
+        kinds += ["t", "g"]
+        w1s += ["", ""]
+        w2s += ["", ""]
+        cs += [nt, nb]
+        return pa.table(
+            {
+                "bucket": pa.array(buckets, type=pa.int32()),
+                "kind": pa.array(kinds, type=pa.string()),
+                "w1": pa.array(w1s, type=pa.string()),
+                "w2": pa.array(w2s, type=pa.string()),
+                "c": pa.array(cs, type=pa.int64()),
+            }
+        )
+
+    def sentinels() -> pa.Table:
+        vals = covering_bucket_values(nbuckets, num_partitions)
+        n = len(vals)
+        return pa.table(
+            {
+                "bucket": pa.array(vals, type=pa.int32()),
+                "kind": pa.array(["s"] * n, type=pa.string()),
+                "w1": pa.array([_SENTINEL_TERM] * n, type=pa.string()),
+                "w2": pa.array([""] * n, type=pa.string()),
+                "c": pa.array([0] * n, type=pa.int64()),
+            }
+        )
+
+    def stage1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["kind"] != "s"]
+        out = [g[g["kind"].isin(["t", "g"])]]  # totals pass through
+        uni = g[g["kind"] == "u"].groupby("w1", sort=False)["c"].sum()
+        if len(uni):
+            out.append(
+                pd.DataFrame(
+                    {
+                        "bucket": g.loc[g["kind"] == "u", "bucket"].iloc[0],
+                        "kind": "u",
+                        "w1": uni.index,
+                        "w2": "",
+                        "c": uni.to_numpy(),
+                    }
+                )
+            )
+        big = (
+            g[g["kind"] == "b"]
+            .groupby(["w1", "w2"], sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        big = big[big["c"] >= min_count]
+        if len(big):
+            cand = pd.DataFrame(
+                {
+                    "bucket": [
+                        zlib.crc32(w.encode("utf-8")) % nbuckets
+                        for w in big["w2"]
+                    ],
+                    "kind": "c",
+                    "w1": big["w1"].to_numpy(),
+                    "w2": big["w2"].to_numpy(),
+                    "c": big["c"].to_numpy(),
+                    "c1": uni.reindex(big["w1"]).to_numpy(dtype=np.int64),
+                }
+            )
+            out.append(cand)
+        res = pd.concat(out, ignore_index=True)
+        if "c1" not in res.columns:
+            res["c1"] = 0
+        res["c1"] = res["c1"].fillna(0).astype("int64")
+        if not len(res):  # sentinel-only group: typed carrier row
+            res = pd.DataFrame(
+                {
+                    "bucket": [0],
+                    "kind": ["x"],
+                    "w1": [""],
+                    "w2": [""],
+                    "c": [0],
+                    "c1": [0],
+                }
+            )
+        res["bucket"] = res["bucket"].astype("int32")
+        return res[["bucket", "kind", "w1", "w2", "c", "c1"]]
+
+    def sentinels2() -> pa.Table:
+        vals = covering_bucket_values(nbuckets, num_partitions)
+        n = len(vals)
+        return pa.table(
+            {
+                "bucket": pa.array(vals, type=pa.int32()),
+                "kind": pa.array(["s"] * n, type=pa.string()),
+                "w1": pa.array([_SENTINEL_TERM] * n, type=pa.string()),
+                "w2": pa.array([""] * n, type=pa.string()),
+                "c": pa.array([0] * n, type=pa.int64()),
+                "c1": pa.array([0] * n, type=pa.int64()),
+            }
+        )
+
+    def stage2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["kind"] != "s"]
+        tot = g[g["kind"].isin(["t", "g"])].copy()
+        tot["score"] = 0.0
+        tot = tot[["kind", "w1", "w2", "c", "score"]]
+        c2 = g[g["kind"] == "u"].set_index("w1")["c"]
+        cand = g[g["kind"] == "c"].copy()
+        if len(cand):
+            c12 = cand["c"].to_numpy(dtype=np.float64)
+            c1 = cand["c1"].to_numpy(dtype=np.float64)
+            c2v = c2.reindex(cand["w2"]).to_numpy(dtype=np.float64)
+            cand["score"] = np.log(c12) - np.log(c1) - np.log(c2v)
+            cand = cand.sort_values(
+                ["score", "w1", "w2"], ascending=[False, True, True]
+            ).head(k)
+            cand = cand[["kind", "w1", "w2", "c", "score"]]
+            tot = pd.concat([tot, cand], ignore_index=True)
+        if not len(tot):  # sentinel-only group: typed carrier row
+            tot = pd.DataFrame(
+                {"kind": ["x"], "w1": [""], "w2": [""], "c": [0], "score": [0.0]}
+            )
+        return tot
+
+    merged = (
+        docs.map_batches(rows_partial, batch_format="pyarrow")
+        .union(rd.from_arrow(sentinels()))
+        .groupby("bucket", num_partitions=num_partitions)
+        .map_groups(stage1, batch_format="pandas")
+        .union(rd.from_arrow(sentinels2()))
+        .groupby("bucket", num_partitions=num_partitions)
+        .map_groups(stage2, batch_format="pandas")
+        .to_pandas()
+    )
+    nt = int(merged.loc[merged["kind"] == "t", "c"].sum())
+    nb = int(merged.loc[merged["kind"] == "g", "c"].sum())
+    cand = merged[merged["kind"] == "c"].copy()
+    if not len(cand) or nb == 0:
+        return pd.DataFrame(
+            {
+                "w1": pd.Series([], dtype="object"),
+                "w2": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+                "pmi": pd.Series([], dtype="float64"),
+                "rank": pd.Series([], dtype="int64"),
+            }
+        )
+    cand = cand.sort_values(
+        ["score", "w1", "w2"], ascending=[False, True, True]
+    ).head(k)
+    # same association order as the SQL oracle: (score - ln nb) + 2 ln nt
+    pmi = (
+        cand["score"].to_numpy(dtype=np.float64) - np.log(float(nb))
+    ) + 2.0 * np.log(float(nt))
+    out = pd.DataFrame(
+        {
+            "w1": cand["w1"].to_numpy(),
+            "w2": cand["w2"].to_numpy(),
+            "n": cand["c"].to_numpy(dtype=np.int64),
+            "pmi": round_half_away(pmi, 6),
+        }
+    ).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out

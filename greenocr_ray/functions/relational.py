@@ -1230,3 +1230,180 @@ def q_rollup_events(sf_dir: str) -> pd.DataFrame:
     out["day"] = out["day"].astype("int64")
     out["total"] = round_half_away(out["total"], 4)
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+# ------------------------------------------- grouped Pearson correlation
+
+
+def q_corr_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-group Pearson correlation + covariance of
+    (l_quantity, l_extendedprice), grouped by l_returnflag.
+
+    Numerically stable distributed design: each batch emits one
+    Welford-style partial per group — (n, mean_x, mean_y, M2x, M2y,
+    Cxy) — and the driver folds partials with Chan's parallel-merge
+    update. Driver state is O(#groups); no shuffle, no raw-moment
+    cancellation (naive n·Σxy − Σx·Σy loses ~8 digits on
+    price-scale data, which can straddle the 6 dp rounding the oracle
+    compares at). Matches DuckDB's own single-pass stable corr/covar.
+    """
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        rows = []
+        for flag, g in df.groupby("l_returnflag", sort=False):
+            x = g["l_quantity"].to_numpy()
+            y = g["l_extendedprice"].to_numpy()
+            mx, my = x.mean(), y.mean()
+            dx, dy = x - mx, y - my
+            rows.append(
+                {
+                    "l_returnflag": flag,
+                    "n": len(x),
+                    "mean_x": mx,
+                    "mean_y": my,
+                    "m2x": float(dx @ dx),
+                    "m2y": float(dy @ dy),
+                    "cxy": float(dx @ dy),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    def merge(a: dict, b: dict) -> dict:
+        na, nb = a["n"], b["n"]
+        n = na + nb
+        d_x = b["mean_x"] - a["mean_x"]
+        d_y = b["mean_y"] - a["mean_y"]
+        return {
+            "n": n,
+            "mean_x": a["mean_x"] + d_x * nb / n,
+            "mean_y": a["mean_y"] + d_y * nb / n,
+            "m2x": a["m2x"] + b["m2x"] + d_x * d_x * na * nb / n,
+            "m2y": a["m2y"] + b["m2y"] + d_y * d_y * na * nb / n,
+            "cxy": a["cxy"] + b["cxy"] + d_x * d_y * na * nb / n,
+        }
+
+    acc: dict[str, dict] = {}
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    for batch in parts.iter_batches(batch_size=4096, batch_format="pandas"):
+        for row in batch.to_dict("records"):
+            k = row.pop("l_returnflag")
+            acc[k] = merge(acc[k], row) if k in acc else row
+
+    rows = []
+    for flag in sorted(acc):
+        s = acc[flag]
+        denom = np.sqrt(s["m2x"] * s["m2y"])
+        rows.append(
+            {
+                "l_returnflag": flag,
+                "n": int(s["n"]),
+                "corr_qty_price": round_half_away(
+                    s["cxy"] / denom if denom > 0 else float("nan"), 6
+                ),
+                "covar_pop": round_half_away(s["cxy"] / s["n"], 4),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# --------------------------------------- Q5-style multiway join volume
+
+
+def q_local_supplier_volume(sf_dir: str, num_partitions: int = 16) -> pd.DataFrame:
+    """TPC-H Q5 shape: lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈
+    nation, keeping only order lines where the customer's nation equals
+    the supplier's nation; revenue = Σ l_extendedprice·(1−l_discount)
+    per nation name.
+
+    Join plan: the two fact-fact edges (lineitem⋈orders on orderkey,
+    then ⋈customer on custkey) are hash-partitioned ``Dataset.join``
+    exchanges — both sides are data-sized, so they must shuffle; a
+    bloom semi-join on orderkey prunes lineitem before the first
+    exchange. The supplier→nation and nation→name edges broadcast
+    (supplier is the smallest scaling table — ~1/15 of customer in
+    TPC-H; the broadcast dict is keys→int16-sized and read once per
+    task via ray.put). The c_nationkey = s_nationkey predicate is
+    applied map-side right after the supplier lookup, BEFORE the
+    grouped partial aggregation, so only matching rows reach the
+    O(#nations) driver fold.
+    """
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    supp_nat = dict(
+        zip(supp.column("s_suppkey").to_pylist(), supp.column("s_nationkey").to_pylist())
+    )
+    nat_name = dict(
+        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
+    )
+    supp_ref = ray.put(supp_nat)
+    nat_ref = ray.put(nat_name)
+
+    m_bits = 1 << 20
+    bits_ref = ray.put(bloom_build(orders, "o_orderkey", m_bits=m_bits))
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        keys = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(bloom_contains(keys, bits, m_bits)))
+
+    j1 = li.map_batches(prefilter, batch_format="pyarrow").join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    j2 = j1.join(
+        cust,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        s_map = ray.get(supp_ref)
+        n_map = ray.get(nat_ref)
+        df = t.to_pandas()
+        df["s_nationkey"] = df["l_suppkey"].map(s_map)
+        df = df[df["s_nationkey"] == df["c_nationkey"]]
+        if df.empty:
+            return pd.DataFrame(columns=["n_name", "revenue", "n_lines"])
+        df["n_name"] = df["s_nationkey"].map(n_map)
+        df["rev"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby("n_name", sort=False).agg(
+            revenue=("rev", "sum"), n_lines=("rev", "size")
+        )
+        return g.reset_index()
+
+    out = combine_small_agg(
+        j2.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["n_name"],
+        {"revenue": "sum", "n_lines": "sum"},
+    )
+    # intermediate round at the products' exact decimal precision
+    # (2dp price x 2dp discount -> 4dp-exact terms) absorbs
+    # summation-order ulps before the reported 2dp rounding — the
+    # q1_pricing_summary idiom, mirrored in the SQL oracle
+    out["revenue"] = round_half_away(round_half_away(out["revenue"], 4), 2)
+    out["n_lines"] = out["n_lines"].astype("int64")
+    return (
+        out.sort_values(["revenue", "n_name"], ascending=[False, True])
+        .reset_index(drop=True)[["n_name", "revenue", "n_lines"]]
+    )

@@ -493,3 +493,59 @@ def test_pca_fit_matches_numpy(ray_session):
     assert len(proj) == n
     mean_err = proj["recon_err"].mean()
     assert abs(mean_err - evals[np.argsort(evals)[::-1][k:]].sum()) < 1e-9
+
+
+def test_collocations_golden(ray_session):
+    """Two-shuffle distributed PMI matches a driver-side brute force
+    (full unigram counts, adjacent bigrams, min_count prune, top-k by
+    the rank-equivalent score with (w1, w2) tie-break)."""
+    from collections import Counter
+
+    from greenocr_ray.functions.corpus import collocations
+
+    texts = [
+        "new york is big new york is far",
+        "san francisco and new york",
+        "san francisco fog san francisco hills",
+        "the the the the the",
+        "york new york new",
+    ] * 3
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": texts,
+            }
+        )
+    )
+    out = collocations(ds, k=5, min_count=3)
+
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    nt = nb = 0
+    for s in texts:
+        ws = s.split()
+        nt += len(ws)
+        nb += len(ws) - 1
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    scored = [
+        (
+            np.log(c) - np.log(uni[a]) - np.log(uni[b]),
+            a,
+            b,
+            c,
+        )
+        for (a, b), c in big.items()
+        if c >= 3
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = scored[:5]
+    assert len(out) == len(want)
+    for i, (score, a, b, c) in enumerate(want):
+        pmi = (score - np.log(nb)) + 2.0 * np.log(nt)
+        assert out.loc[i, "w1"] == a
+        assert out.loc[i, "w2"] == b
+        assert out.loc[i, "n"] == c
+        assert out.loc[i, "rank"] == i + 1
+        assert abs(out.loc[i, "pmi"] - pmi) < 1e-6

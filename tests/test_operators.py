@@ -450,3 +450,100 @@ def test_langid_accurate_on_genuine_languages(ray_session):
     clf = LangId()
     preds = {lang: clf.classify(t) for lang, t in samples.items()}
     assert preds == {k: k for k in samples}
+
+
+# ----------------------------------------------- round-4 additions
+
+
+def test_corr_stats_matches_numpy(ray_session):
+    """Chan-merged Welford partials match a single-machine
+    np.corrcoef / covariance on the same data."""
+    from greenocr_ray.functions.relational import q_corr_stats
+
+    sf = "/root/testdata/sf0.001"
+    out = q_corr_stats(sf).set_index("l_returnflag")
+
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(
+        f"{sf}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    ).to_pandas()
+    for flag, g in df.groupby("l_returnflag"):
+        x = g["l_quantity"].to_numpy()
+        y = g["l_extendedprice"].to_numpy()
+        assert out.loc[flag, "n"] == len(g)
+        assert abs(out.loc[flag, "corr_qty_price"] - np.corrcoef(x, y)[0, 1]) < 1e-6
+        want_cov = float(((x - x.mean()) * (y - y.mean())).mean())
+        assert abs(out.loc[flag, "covar_pop"] - want_cov) < 1e-3
+
+
+def test_local_supplier_volume_matches_pandas(ray_session):
+    """Two shuffle joins + broadcast dims reproduce the pandas
+    five-way merge with the local-supplier predicate."""
+    from greenocr_ray.functions.relational import q_local_supplier_volume
+
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    out = q_local_supplier_volume(sf)
+
+    li = pq.read_table(f"{sf}/lineitem.parquet").to_pandas()
+    orders = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+    cust = pq.read_table(f"{sf}/customer.parquet").to_pandas()
+    supp = pq.read_table(f"{sf}/supplier.parquet").to_pandas()
+    nation = pq.read_table(f"{sf}/nation.parquet").to_pandas()
+    j = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    )
+    j = j[j["c_nationkey"] == j["s_nationkey"]].merge(
+        nation, left_on="s_nationkey", right_on="n_nationkey"
+    )
+    j["rev"] = j["l_extendedprice"] * (1.0 - j["l_discount"])
+    want = (
+        j.groupby("n_name")
+        .agg(revenue=("rev", "sum"), n_lines=("rev", "size"))
+        .reset_index()
+    )
+    got = out.set_index("n_name")
+    assert set(got.index) == set(want["n_name"])
+    for _, r in want.iterrows():
+        assert got.loc[r["n_name"], "n_lines"] == r["n_lines"]
+        assert abs(got.loc[r["n_name"], "revenue"] - r["revenue"]) < 1e-2
+
+
+def test_semdedup_subset_and_planted_recall(ray_session):
+    """Cluster-interior pairs are a strict subset of the exact
+    all-pairs set (same cosine math), and a planted near-identical
+    pair is always found regardless of which cluster it lands in."""
+    from greenocr_ray.functions.similarity import (
+        embedding_near_dup_pairs,
+        semdedup_pairs,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    base = rng.normal(size=(400, 16))
+    base[101] = base[100] + rng.normal(scale=1e-3, size=16)  # planted dup
+    base[301] = base[300] + rng.normal(scale=1e-3, size=16)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(400), type=pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in base],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    exact = embedding_near_dup_pairs(ds, threshold=0.8)
+    clustered = semdedup_pairs(ds, k=4, threshold=0.8, probes=2)
+    ex = set(zip(exact["vec_a"], exact["vec_b"]))
+    cl = set(zip(clustered["vec_a"], clustered["vec_b"]))
+    assert cl <= ex
+    assert (100, 101) in cl
+    assert (300, 301) in cl
+    # no pair duplicated despite multi-probe overlap
+    assert len(clustered) == len(cl)
