@@ -1447,6 +1447,23 @@ def _q_semdedup(sf_dir: str) -> Any:
     )
 
 
+
+def _q_dedup_substrings(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import dedup_substrings
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return (
+        dedup_substrings(docs, n=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from greenocr_ray.functions import relational as R
 
@@ -1550,6 +1567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": _q_local_supplier_volume,
         "collocations": _q_collocations,
         "semdedup": _q_semdedup,
+        "dedup_substrings": _q_dedup_substrings,
     }
 
 
@@ -2709,5 +2727,45 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "dedup_substrings": r"""
+            WITH d AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '\w+') AS ws
+                       FROM documents),
+            toks AS (SELECT doc_id, unnest(ws) AS tok,
+                            generate_subscripts(ws, 1) AS pos
+                     FROM d),
+            grams AS (
+              SELECT doc_id, i AS pos,
+                     array_to_string(ws[i:i+4], ' ') AS gram
+              FROM d, unnest(range(1, len(ws) - 3)) AS t(i)
+            ),
+            ranked AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY gram
+                                        ORDER BY doc_id, pos) AS rn,
+                     count(*) OVER (PARTITION BY gram) AS cnt
+              FROM grams
+            ),
+            covered AS (
+              SELECT DISTINCT doc_id, pos + o AS cpos
+              FROM ranked, unnest(range(0, 5)) AS u(o)
+              WHERE cnt >= 2 AND rn > 1
+            ),
+            kept AS (
+              SELECT t.doc_id, t.pos, t.tok
+              FROM toks t LEFT JOIN covered c
+                ON t.doc_id = c.doc_id AND t.pos = c.cpos
+              WHERE c.cpos IS NULL
+            ),
+            rebuilt AS (SELECT doc_id,
+                               string_agg(tok, ' ' ORDER BY pos) AS text,
+                               count(*) AS nk
+                        FROM kept GROUP BY doc_id)
+            SELECT dd.doc_id, COALESCE(r.text, '') AS text,
+                   CAST(len(dd.ws) - COALESCE(r.nk, 0) AS BIGINT)
+                     AS n_removed
+            FROM d dd LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY dd.doc_id
         """,
     }

@@ -241,6 +241,7 @@ def main() -> None:
         "simhash",
         "knn_cosine",
         "llm_prep",
+        "collocations",
     ):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
@@ -264,6 +265,23 @@ def main() -> None:
         t0 = time.monotonic()
         qs["fingerprints"](sf_dir)
         timings["fingerprints_with_gate"] = round(time.monotonic() - t0, 3)
+
+        # semdedup: time the clustered pipeline alone — the queries()
+        # entry also runs the exact all-pairs recompute (machine-gate
+        # verification cost, not pipeline cost)
+        from greenocr_ray.functions.similarity import semdedup_pairs as _sd
+
+        t0 = time.monotonic()
+        _sd(
+            _rd.read_parquet(
+                f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"],
+            ),
+            k=4,
+            threshold=0.4,
+            probes=2,
+        )
+        timings["semdedup"] = round(time.monotonic() - t0, 3)
 
     result = {
         "metric": "interleaved text+media extraction wall time (docs/sec in docs_per_sec)",

@@ -2329,3 +2329,200 @@ def collocations(
     ).reset_index(drop=True)
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out
+
+
+# ------------------------------------- substring-level dedup (action)
+
+
+def dedup_substrings(
+    docs: rd.Dataset, n: int = 5, nbuckets: int = 32
+) -> rd.Dataset:
+    """Substring-level deduplication ACTION (Lee et al. 2022) — the
+    removal counterpart of ``dup_ngram_stats``: every token covered by
+    a corpus-duplicated word n-gram occurrence is dropped, except the
+    gram's canonical FIRST occurrence (global (doc_id, pos) order), so
+    exactly one copy of each duplicated passage survives. Output text
+    is the kept tokens joined by single spaces (lowercased, tokenized
+    — the same canonical form the SQL oracle rebuilds).
+
+    Distributed design, nothing corpus-scale on the driver:
+    1. One tokenize pass emits (gram-hash, doc_id, pos) rows per gram
+       OCCURRENCE — O(total tokens) rows, the dup_ngram_stats
+       vectorized polynomial hashing (128 combined bits; collisions
+       negligible) — bucketed by hash bits.
+    2. Gram-bucket shuffle: a gram's occurrences are co-located, so
+       the ≥2 filter and the (doc_id, pos)-min canonical rank resolve
+       vectorized in-bucket; non-canonical occurrences re-key by
+       doc_id % nbuckets.
+    3. Doc-bucket shuffle (union with the doc texts, the
+       snapshot_diff tagged-union idiom): each doc's covered interval
+       set [pos, pos+n) resolves against its token array and the
+       cleaned text is emitted. Typed sentinels keep both shuffles
+       streaming.
+    -> Dataset of (doc_id, text, n_removed).
+    """
+    from ..rayutil import covering_bucket_values
+
+    B1 = np.uint64(0x9E3779B97F4A7C15)
+    B2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    num_partitions = min(nbuckets, 8)
+
+    def gram_occurrences(t: pa.Table) -> pa.Table:
+        tok_cache: dict[str, tuple[int, int]] = {}
+        ids, poss, h1s, h2s = [], [], [], []
+        for doc_id, s in zip(
+            t.column("doc_id").to_pylist(),
+            pc.utf8_lower(t.column("text")).to_pylist(),
+        ):
+            w = _TOKEN_RE.findall(s)
+            m = len(w) - n + 1
+            if m <= 0:
+                continue
+            h1 = np.empty(len(w), np.uint64)
+            h2 = np.empty(len(w), np.uint64)
+            for i, tk in enumerate(w):
+                v = tok_cache.get(tk)
+                if v is None:
+                    d = hashlib.md5(tk.encode("utf-8")).digest()
+                    v = (
+                        int.from_bytes(d[:8], "little"),
+                        int.from_bytes(d[8:], "little"),
+                    )
+                    tok_cache[tk] = v
+                h1[i], h2[i] = v
+            a = np.zeros(m, dtype=np.uint64)
+            b = np.zeros(m, dtype=np.uint64)
+            for j in range(n):  # n shifted multiply-adds, wraps mod 2^64
+                np.multiply(a, B1, out=a)
+                np.add(a, h1[j : j + m], out=a)
+                np.multiply(b, B2, out=b)
+                np.add(b, h2[j : j + m], out=b)
+            ids.append(np.full(m, doc_id, dtype=np.int64))
+            poss.append(np.arange(1, m + 1, dtype=np.int64))  # 1-based
+            h1s.append(a)
+            h2s.append(b)
+        if ids:
+            ido = np.concatenate(ids)
+            poso = np.concatenate(poss)
+            h1o = np.concatenate(h1s)
+            h2o = np.concatenate(h2s)
+        else:
+            ido = poso = np.array([], np.int64)
+            h1o = h2o = np.array([], np.uint64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    ((h1o ^ h2o) % np.uint64(nbuckets)).astype(np.int32),
+                    type=pa.int32(),
+                ),
+                "h1": pa.array(h1o, type=pa.uint64()),
+                "h2": pa.array(h2o, type=pa.uint64()),
+                "doc_id": pa.array(ido, type=pa.int64()),
+                "pos": pa.array(poso, type=pa.int64()),
+            }
+        )
+
+    def non_canonical(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h1", "h2", "doc_id", "pos"], kind="mergesort")
+        grp = g.groupby(["h1", "h2"], sort=False)
+        dup = grp["pos"].transform("size").to_numpy() >= 2
+        noncanon = grp.cumcount().to_numpy() > 0
+        sel = g.loc[dup & noncanon, ["doc_id", "pos"]]
+        if not len(sel):  # typed carrier row, filtered downstream
+            sel = pd.DataFrame({"doc_id": [-1], "pos": [0]})
+        out = pd.DataFrame(
+            {
+                "bucket": (sel["doc_id"].to_numpy() % nbuckets).astype(
+                    np.int32
+                ),
+                "doc_id": sel["doc_id"].to_numpy(),
+                "pos": sel["pos"].to_numpy(),
+                "text": "",
+            }
+        )
+        return out
+
+    svals = covering_bucket_values(nbuckets, num_partitions)
+    gram_sentinels = pa.table(
+        {
+            # unique (h1,h2) per sentinel: occurs once -> dropped by >=2
+            "bucket": pa.array(svals, type=pa.int32()),
+            "h1": pa.array(
+                [np.uint64(1 << 63) + np.uint64(i) for i in range(len(svals))],
+                type=pa.uint64(),
+            ),
+            "h2": pa.array(
+                [np.uint64(i) for i in range(len(svals))], type=pa.uint64()
+            ),
+            "doc_id": pa.array([-1] * len(svals), type=pa.int64()),
+            "pos": pa.array([0] * len(svals), type=pa.int64()),
+        }
+    )
+
+    removals = (
+        docs.map_batches(gram_occurrences, batch_format="pyarrow")
+        .union(rd.from_arrow(gram_sentinels))
+        .groupby("bucket", num_partitions=num_partitions)
+        .map_groups(non_canonical, batch_format="pandas")
+    )
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (d % nbuckets).astype(np.int32), type=pa.int32()
+                ),
+                "doc_id": t.column("doc_id"),
+                "pos": pa.array(
+                    np.full(len(d), -1, dtype=np.int64), type=pa.int64()
+                ),
+                "text": t.column("text"),
+            }
+        )
+
+    doc_sentinels = pa.table(
+        {
+            "bucket": pa.array(svals, type=pa.int32()),
+            "doc_id": pa.array([-1] * len(svals), type=pa.int64()),
+            "pos": pa.array([-1] * len(svals), type=pa.int64()),
+            "text": pa.array([""] * len(svals), type=pa.string()),
+        }
+    )
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["doc_id"] >= 0]
+        texts = g[g["pos"] == -1]
+        cov = g[g["pos"] > 0]
+        cov_by_doc = (
+            {k: v["pos"].to_numpy() for k, v in cov.groupby("doc_id")}
+            if len(cov)
+            else {}
+        )
+        out_id, out_txt, out_rm = [], [], []
+        for did, s in zip(texts["doc_id"], texts["text"]):
+            toks = _TOKEN_RE.findall(s.lower())
+            keep = np.ones(len(toks), dtype=bool)
+            for p in cov_by_doc.get(did, ()):  # cover [p, p+n) 1-based
+                keep[p - 1 : p - 1 + n] = False
+            out_id.append(did)
+            out_txt.append(" ".join(np.asarray(toks, dtype=object)[keep]))
+            out_rm.append(int((~keep).sum()))
+        if not out_id:  # sentinel-only group: typed carrier row
+            return pd.DataFrame(
+                {"doc_id": [-1], "text": [""], "n_removed": [0]}
+            )
+        return pd.DataFrame(
+            {"doc_id": out_id, "text": out_txt, "n_removed": out_rm}
+        )
+
+    cleaned = (
+        removals.union(
+            docs.map_batches(doc_rows, batch_format="pyarrow"),
+            rd.from_arrow(doc_sentinels),
+        )
+        .groupby("bucket", num_partitions=num_partitions)
+        .map_groups(rebuild, batch_format="pandas")
+        .filter(lambda r: r["doc_id"] >= 0)
+    )
+    return cleaned

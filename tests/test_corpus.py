@@ -549,3 +549,40 @@ def test_collocations_golden(ray_session):
         assert out.loc[i, "n"] == c
         assert out.loc[i, "rank"] == i + 1
         assert abs(out.loc[i, "pmi"] - pmi) < 1e-6
+
+
+def test_dedup_substrings_removes_noncanonical(ray_session):
+    """Tokens covered by corpus-duplicated 5-grams are removed except
+    the canonical first occurrence; short/clean docs pass through as
+    their token-joined canonical form."""
+    from greenocr_ray.functions.corpus import dedup_substrings
+
+    texts = [
+        "a b c d e f g h",   # canonical occurrence of every gram
+        "x y a b c d e z",   # embedded dup passage -> 'x y z'
+        "p q r s t u v",     # clean
+        "a b c d e f g h",   # full dup -> empty
+        "short one",         # < n tokens
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(5), type=pa.int64()),
+                "text": texts,
+            }
+        )
+    )
+    out = (
+        dedup_substrings(ds, n=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["text"]) == [
+        "a b c d e f g h",
+        "x y z",
+        "p q r s t u v",
+        "",
+        "short one",
+    ]
+    assert list(out["n_removed"]) == [0, 5, 0, 8, 0]
