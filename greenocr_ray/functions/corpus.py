@@ -1599,7 +1599,11 @@ def top_tokens_per_group(
 # ------------------------------------------------- stopword detection
 
 
-def detect_stopwords(docs: rd.Dataset, n_docs: int | None = None) -> pd.DataFrame:
+def detect_stopwords(
+    docs: rd.Dataset,
+    n_docs: int | None = None,
+    driver_limit: int = 5_000_000,
+) -> pd.DataFrame:
     """Corpus-driven stopword list: tokens present in >= half of all
     docs (document frequency, not term frequency). Same DF machinery
     as tf-idf pass 1 — per-batch distinct-per-doc counts, driver fold
@@ -1626,7 +1630,7 @@ def detect_stopwords(docs: rd.Dataset, n_docs: int | None = None) -> pd.DataFram
 
     parts = docs.map_batches(df_partial, batch_format="pyarrow").materialize()
     n = n_docs if n_docs is not None else docs.count()
-    if parts.count() <= 5_000_000:
+    if parts.count() <= driver_limit:
         dfs = parts.to_pandas().groupby("token")["df"].sum().reset_index()
     else:  # vocab-scale shuffle path (same policy as tfidf_top_terms)
         from ray.data.aggregate import Sum
@@ -2136,8 +2140,6 @@ def collocations(
     totals rows. Typed sentinels keep both hash shuffles streaming.
     -> (w1, w2, n, pmi, rank), pmi desc, ties (w1, w2) asc.
     """
-    import zlib
-
     from collections import Counter
 
     from ..rayutil import covering_bucket_values
@@ -2154,30 +2156,39 @@ def collocations(
             nb += max(len(toks) - 1, 0)
             uni.update(toks)
             big.update(zip(toks, toks[1:]))
-        buckets, kinds, w1s, w2s, cs = [], [], [], [], []
+        kinds, w1s, w2s, cs = [], [], [], []
         for tok, c in uni.items():
-            buckets.append(zlib.crc32(tok.encode("utf-8")) % nbuckets)
             kinds.append("u")
             w1s.append(tok)
             w2s.append("")
             cs.append(c)
         for (a, b), c in big.items():
-            buckets.append(zlib.crc32(a.encode("utf-8")) % nbuckets)
             kinds.append("b")
             w1s.append(a)
             w2s.append(b)
             cs.append(c)
-        # per-batch totals ride bucket 0 through both shuffles
-        buckets += [0, 0]
+        # vectorized bucket hash over the left-token column (both row
+        # kinds key on w1); per-batch totals ride bucket 0 through
+        # both shuffles
+        from ..rayutil import crc32_of_strings
+
+        w1_arr = pa.array(w1s, type=pa.string())
+        buckets = (
+            crc32_of_strings(w1_arr) % np.uint32(nbuckets)
+        ).astype(np.int32)
         kinds += ["t", "g"]
-        w1s += ["", ""]
         w2s += ["", ""]
         cs += [nt, nb]
         return pa.table(
             {
-                "bucket": pa.array(buckets, type=pa.int32()),
+                "bucket": pa.array(
+                    np.concatenate([buckets, np.zeros(2, np.int32)]),
+                    type=pa.int32(),
+                ),
                 "kind": pa.array(kinds, type=pa.string()),
-                "w1": pa.array(w1s, type=pa.string()),
+                "w1": pa.concat_arrays(
+                    [w1_arr, pa.array(["", ""], type=pa.string())]
+                ),
                 "w2": pa.array(w2s, type=pa.string()),
                 "c": pa.array(cs, type=pa.int64()),
             }
@@ -2220,12 +2231,15 @@ def collocations(
         )
         big = big[big["c"] >= min_count]
         if len(big):
+            from ..rayutil import crc32_of_strings
+
+            w2_buckets = (
+                crc32_of_strings(pa.array(big["w2"], type=pa.string()))
+                % np.uint32(nbuckets)
+            ).astype(np.int32)
             cand = pd.DataFrame(
                 {
-                    "bucket": [
-                        zlib.crc32(w.encode("utf-8")) % nbuckets
-                        for w in big["w2"]
-                    ],
+                    "bucket": w2_buckets,
                     "kind": "c",
                     "w1": big["w1"].to_numpy(),
                     "w2": big["w2"].to_numpy(),

@@ -1073,3 +1073,24 @@ def test_dup_ngram_streams_on_heavy_dup_corpus(ray_session, monkeypatch):
     # every doc's shared-passage grams are duplicated corpus-wide
     assert (out["n_dup_grams"] >= 5).all()
     assert (out["dup_ratio"] > 0).all() and (out["dup_ratio"] <= 1).all()
+
+
+def test_detect_stopwords_shuffle_path_matches_driver_path(ray_session):
+    """The vocab-scale branch (distributed term groupby + in-plan
+    threshold filter, no full-vocab driver collect) returns the same
+    stopword set as the small-corpus driver fold."""
+    from greenocr_ray.functions.corpus import detect_stopwords
+
+    docs = rd.from_arrow(
+        _docs_table(
+            [
+                (1, "the half cat"),
+                (2, "the half dog"),
+                (3, "the bird"),
+                (4, "rare fish"),
+            ]
+        )
+    )
+    small = detect_stopwords(docs)
+    shuffled = detect_stopwords(docs, driver_limit=0)
+    pd.testing.assert_frame_equal(small, shuffled)
