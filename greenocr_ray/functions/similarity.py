@@ -756,6 +756,8 @@ def semdedup_pairs(
     threshold: float = 0.4,
     iters: int = 8,
     probes: int = 2,
+    fit: str = "sample",
+    fit_sample_size: int = 4096,
 ) -> pd.DataFrame:
     """SemDeDup (Abbas et al., 2023): semantic near-duplicate
     discovery restricted to k-means cluster interiors — the scale path
@@ -780,8 +782,47 @@ def semdedup_pairs(
     returned pair is by construction also an exact-cosine near-dup
     pair (same normalize + matmul math as
     ``embedding_near_dup_pairs``), which the machine gate asserts.
+
+    ``fit='sample'`` (default) runs Lloyd on a bounded
+    ``fit_sample_size`` prefix entirely on the driver — the paper's
+    own design, and the 100-TB one: centroid placement needs only a
+    sketch of the density, so only the ONE assignment pass streams
+    the corpus (vs iters× full passes for ``fit='full'``, which
+    remains available when exact full-corpus centroids matter).
+    Dedup recall is insensitive to the fit source (cluster interiors
+    just need to co-locate neighborhoods).
     """
-    centroids, _ = kmeans_fit(embeddings, k=k, iters=iters)
+    if fit == "sample":
+        sample_rows = embeddings.limit(fit_sample_size).to_pandas()
+        sample = np.stack(
+            [
+                np.asarray(v, dtype=np.float64)
+                for v in sample_rows["embedding"]
+            ]
+        )
+        rng = np.random.Generator(np.random.PCG64(11))
+        kk = min(k, sample.shape[0])
+        centroids = sample[
+            np.sort(rng.choice(sample.shape[0], size=kk, replace=False))
+        ].copy()
+        for _ in range(iters):
+            d2 = (
+                (sample * sample).sum(axis=1)[:, None]
+                - 2.0 * sample @ centroids.T
+                + (centroids * centroids).sum(axis=1)[None, :]
+            )
+            assign = d2.argmin(axis=1)
+            new_c = centroids.copy()
+            for j in range(kk):
+                sel = assign == j
+                if sel.any():
+                    new_c[j] = sample[sel].mean(axis=0)
+            if float(np.abs(new_c - centroids).max()) < 1e-12:
+                centroids = new_c
+                break
+            centroids = new_c
+    else:
+        centroids, _ = kmeans_fit(embeddings, k=k, iters=iters)
     probes = min(probes, len(centroids))
     c_ref = ray.put(centroids)
 

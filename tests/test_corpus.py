@@ -586,3 +586,104 @@ def test_dedup_substrings_removes_noncanonical(ray_session):
         "short one",
     ]
     assert list(out["n_removed"]) == [0, 5, 0, 8, 0]
+
+
+def test_dedup_substrings_randomized_matches_bruteforce(ray_session):
+    """Seeded random corpora with planted repetition: distributed
+    removal equals the driver brute force (canonical-first, coverage
+    union) on every doc."""
+    import re as _re
+    from collections import defaultdict
+
+    from greenocr_ray.functions.corpus import dedup_substrings
+
+    TOK = _re.compile(r"\w+", _re.ASCII)
+    n = 4
+    for seed in (3, 17):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        vocab = [f"w{i}" for i in range(12)]
+        texts = []
+        for _ in range(25):
+            ln = int(rng.integers(0, 14))
+            texts.append(" ".join(rng.choice(vocab, size=ln)))
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": texts,
+                }
+            )
+        )
+        out = (
+            dedup_substrings(ds, n=n)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        docs = {i: TOK.findall(t.lower()) for i, t in enumerate(texts)}
+        occ = defaultdict(list)
+        for d, ws in docs.items():
+            for p in range(len(ws) - n + 1):
+                occ[tuple(ws[p : p + n])].append((d, p + 1))
+        cover = defaultdict(set)
+        for g, os_ in occ.items():
+            if len(os_) >= 2:
+                for d, p in sorted(os_)[1:]:
+                    cover[d].update(range(p, p + n))
+        assert len(out) == len(texts)
+        for d, ws in docs.items():
+            kept = [w for i, w in enumerate(ws, 1) if i not in cover[d]]
+            assert out.loc[d, "text"] == " ".join(kept), (seed, d)
+            assert out.loc[d, "n_removed"] == len(ws) - len(kept)
+
+
+def test_collocations_randomized_matches_bruteforce(ray_session):
+    """Seeded random corpora: the two-shuffle PMI pipeline equals the
+    driver brute force (same min_count, same tie-break) including the
+    exact rounded PMI values."""
+    from collections import Counter
+
+    from greenocr_ray.functions.corpus import collocations
+
+    for seed in (5, 23):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        vocab = [f"t{i}" for i in range(8)]
+        texts = [
+            " ".join(rng.choice(vocab, size=int(rng.integers(2, 30))))
+            for _ in range(30)
+        ]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": texts,
+                }
+            )
+        )
+        out = collocations(ds, k=8, min_count=3)
+        uni: Counter = Counter()
+        big: Counter = Counter()
+        nt = nb = 0
+        for s in texts:
+            ws = s.split()
+            nt += len(ws)
+            nb += max(len(ws) - 1, 0)
+            uni.update(ws)
+            big.update(zip(ws, ws[1:]))
+        scored = sorted(
+            (
+                (np.log(c) - np.log(uni[a]) - np.log(uni[b]), a, b, c)
+                for (a, b), c in big.items()
+                if c >= 3
+            ),
+            key=lambda t: (-t[0], t[1], t[2]),
+        )[:8]
+        assert len(out) == len(scored), seed
+        for i, (score, a, b, c) in enumerate(scored):
+            assert (out.loc[i, "w1"], out.loc[i, "w2"], out.loc[i, "n"]) == (
+                a,
+                b,
+                c,
+            ), seed
+            pmi = (score - np.log(nb)) + 2.0 * np.log(nt)
+            assert abs(out.loc[i, "pmi"] - pmi) < 1e-6
