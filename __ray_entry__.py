@@ -1464,6 +1464,48 @@ def _q_dedup_substrings(sf_dir: str) -> Any:
     )
 
 
+
+def _q_bpe_tokenize(sf_dir: str) -> Any:
+    """Machine-gated BPE: total_words and the zero-merge token count
+    (= total word chars + one end-of-word symbol per word) are
+    SQL-exact; roundtrip_ok asserts every word's BPE pieces re-join
+    losslessly; monotonic_ok asserts the corpus token count is
+    non-increasing in the number of merges (0 -> 25 -> 50)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from greenocr_ray.functions.bpe import (
+        bpe_encode_stats,
+        bpe_train,
+        top_word_counts,
+    )
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    wc = top_word_counts(docs, top_v=500)
+    merges = bpe_train(wc, num_merges=50)
+    s0 = bpe_encode_stats(docs, [])
+    s25 = bpe_encode_stats(docs, merges[:25])
+    s50 = bpe_encode_stats(docs, merges)
+    t0, t25, t50 = (
+        int(s["n_tokens"].sum()) for s in (s0, s25, s50)
+    )
+    return pd.DataFrame(
+        {
+            "n_docs": pd.array([len(s0)], dtype="int64"),
+            "total_words": pd.array([int(s0["n_words"].sum())], dtype="int64"),
+            "no_merge_tokens": pd.array([t0], dtype="int64"),
+            "roundtrip_ok": [
+                bool(s0["roundtrip_ok"].all())
+                and bool(s25["roundtrip_ok"].all())
+                and bool(s50["roundtrip_ok"].all())
+            ],
+            "monotonic_ok": [bool(t0 >= t25 >= t50)],
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from greenocr_ray.functions import relational as R
 
@@ -1568,6 +1610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": _q_collocations,
         "semdedup": _q_semdedup,
         "dedup_substrings": _q_dedup_substrings,
+        "bpe_tokenize": _q_bpe_tokenize,
     }
 
 
@@ -2767,5 +2810,19 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                      AS n_removed
             FROM d dd LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY dd.doc_id
+        """,
+        "bpe_tokenize": r"""
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w
+              FROM documents
+            )
+            SELECT CAST((SELECT count(*) FROM documents) AS BIGINT)
+                     AS n_docs,
+                   CAST(count(*) AS BIGINT) AS total_words,
+                   CAST(sum(length(w)) + count(*) AS BIGINT)
+                     AS no_merge_tokens,
+                   TRUE AS roundtrip_ok,
+                   TRUE AS monotonic_ok
+            FROM toks
         """,
     }

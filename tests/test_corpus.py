@@ -687,3 +687,73 @@ def test_collocations_randomized_matches_bruteforce(ray_session):
             ), seed
             pmi = (score - np.log(nb)) + 2.0 * np.log(nt)
             assert abs(out.loc[i, "pmi"] - pmi) < 1e-6
+
+
+def test_bpe_train_matches_reference_and_roundtrips(ray_session):
+    """Distributed top-V word counts equal pandas value_counts; the
+    driver BPE matches an independent reference simulation; encoding
+    round-trips losslessly and compresses monotonically with merges."""
+    from collections import Counter
+
+    from greenocr_ray.functions.bpe import (
+        _EOW,
+        bpe_encode_stats,
+        bpe_train,
+        top_word_counts,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    vocab = ["alpha", "alps", "beta", "bet", "gamma", "gam", "ab"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(1, 20))))
+        for _ in range(40)
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": texts,
+            }
+        )
+    )
+    wc = top_word_counts(ds, top_v=100)
+    ref_counts = Counter(w for t in texts for w in t.split())
+    assert dict(zip(wc["word"], wc["c"])) == dict(ref_counts)
+
+    merges = bpe_train(wc, num_merges=20)
+
+    # independent reference simulation of the same deterministic rule
+    vocab_syms = {tuple(w) + (_EOW,): c for w, c in ref_counts.items()}
+    ref_merges = []
+    for _ in range(20):
+        pairs: Counter = Counter()
+        for sym, c in vocab_syms.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += c
+        if not pairs:
+            break
+        top_c = max(pairs.values())
+        bp = min(p for p, c in pairs.items() if c == top_c)
+        ref_merges.append(bp)
+        a, b = bp
+        nv = {}
+        for sym, c in vocab_syms.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab_syms = nv
+    assert merges == ref_merges
+
+    s0 = bpe_encode_stats(ds, [])
+    s20 = bpe_encode_stats(ds, merges)
+    assert bool(s0["roundtrip_ok"].all()) and bool(s20["roundtrip_ok"].all())
+    n_chars = sum(len(w) for t in texts for w in t.split())
+    n_words = sum(len(t.split()) for t in texts)
+    assert int(s0["n_tokens"].sum()) == n_chars + n_words
+    assert int(s20["n_tokens"].sum()) < int(s0["n_tokens"].sum())
