@@ -1506,6 +1506,29 @@ def _q_bpe_tokenize(sf_dir: str) -> Any:
     )
 
 
+
+def _q_dedup_keep_best(sf_dir: str) -> Any:
+    """Quality-aware near-dup representative: within each transitive
+    3-gram-Jaccard group keep the member with the most characters
+    (ties -> lowest doc_id)."""
+    import ray.data as rd
+
+    from greenocr_ray.functions.dedup import (
+        connected_dedup_groups,
+        keep_best_per_group,
+        ngram_jaccard_pairs,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    groups = connected_dedup_groups(ngram_jaccard_pairs(ds, threshold=0.5))
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return keep_best_per_group(groups, docs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from greenocr_ray.functions import relational as R
 
@@ -1611,6 +1634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q_semdedup,
         "dedup_substrings": _q_dedup_substrings,
         "bpe_tokenize": _q_bpe_tokenize,
+        "dedup_keep_best": _q_dedup_keep_best,
     }
 
 
@@ -2824,5 +2848,46 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    TRUE AS roundtrip_ok,
                    TRUE AS monotonic_ok
             FROM toks
+        """,
+        "dedup_keep_best": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[0-9a-z_]+') AS tk
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, tk,
+                     unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i
+              FROM toks
+            ), sh AS (
+              SELECT doc_id,
+                     list(DISTINCT tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                         AS grams
+              FROM idx GROUP BY doc_id
+            ), pr AS (
+              SELECT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                           / len(list_distinct(list_concat(a.grams, b.grams)))
+                           AS jaccard_sim
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              ) WHERE ROUND(jaccard_sim, 6) >= 0.5
+            ), edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM pr
+              UNION SELECT doc_b, doc_a FROM pr
+            ), reach AS (
+              SELECT a AS node, a AS r FROM edges
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+            ), grp AS (
+              SELECT node AS doc_id, min(r) AS group_id
+              FROM reach GROUP BY node
+            )
+            SELECT g.doc_id, g.group_id,
+                   CAST(d.n_chars AS BIGINT) AS score,
+                   (row_number() OVER (
+                      PARTITION BY g.group_id
+                      ORDER BY d.n_chars DESC, g.doc_id) = 1) AS keep
+            FROM grp g JOIN documents d USING (doc_id)
+            ORDER BY g.doc_id
         """,
     }

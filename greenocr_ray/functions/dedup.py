@@ -885,3 +885,58 @@ def connected_dedup_groups(
     if len(pairs) <= _PAIR_DRIVER_LIMIT and not force_distributed:
         return _cc_driver(pairs)
     return _cc_distributed(rd.from_pandas(pairs[["doc_a", "doc_b"]]))
+
+
+def keep_best_per_group(
+    groups: pd.DataFrame,
+    docs: rd.Dataset,
+    score_col: str = "n_chars",
+) -> pd.DataFrame:
+    """Quality-aware representative selection for near-dup groups:
+    within each transitive dedup group keep the HIGHEST-scoring member
+    (ties -> lowest doc_id) instead of the arbitrary lowest-id doc —
+    the curation rule real pipelines want (keep the longest / most
+    complete variant of a near-duplicated page).
+
+    ``groups`` is ``connected_dedup_groups`` output — bounded by
+    near-duplicated docs, not corpus size. Member scores are fetched
+    with ONE streaming pass over ``docs`` that broadcasts the member
+    id set and emits rows ONLY for members (output bounded by
+    |groups|); the argmax folds in pandas on that bounded frame.
+    -> (doc_id, group_id, score, keep) sorted by doc_id.
+    """
+    import ray
+
+    if not len(groups):
+        return pd.DataFrame(columns=["doc_id", "group_id", "score", "keep"])
+    members_ref = ray.put(frozenset(int(d) for d in groups["doc_id"]))
+
+    def member_scores(t: pa.Table) -> pa.Table:
+        members = ray.get(members_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = np.array([int(i) in members for i in ids], dtype=bool)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[mask], type=pa.int64()),
+                "score": pc.cast(
+                    t.column(score_col).filter(pa.array(mask)), pa.int64()
+                ),
+            }
+        )
+
+    scores = (
+        docs.map_batches(member_scores, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = groups.merge(scores, on="doc_id", how="left")
+    out["score"] = out["score"].fillna(0).astype("int64")
+    out = out.sort_values(
+        ["group_id", "score", "doc_id"], ascending=[True, False, True]
+    )
+    out["keep"] = out.groupby("group_id", sort=False).cumcount() == 0
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["group_id"] = out["group_id"].astype("int64")
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)[["doc_id", "group_id", "score", "keep"]]
+    )

@@ -547,3 +547,29 @@ def test_semdedup_subset_and_planted_recall(ray_session):
     assert (300, 301) in cl
     # no pair duplicated despite multi-probe overlap
     assert len(clustered) == len(cl)
+
+
+def test_keep_best_per_group_selects_highest_score(ray_session):
+    """Within each dedup group the highest-score member wins (ties ->
+    lowest doc_id); non-members never appear; scores fetched with a
+    members-only streaming pass."""
+    from greenocr_ray.functions.dedup import keep_best_per_group
+
+    groups = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 10, 11], "group_id": [1, 1, 1, 10, 10]}
+    )
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 10, 11], type=pa.int64()),
+                "n_chars": pa.array([5, 9, 9, 100, 7, 7], type=pa.int64()),
+            }
+        )
+    )
+    out = keep_best_per_group(groups, docs)
+    assert list(out["doc_id"]) == [1, 2, 3, 10, 11]
+    kept = set(out.loc[out["keep"], "doc_id"])
+    # group 1: docs 2 and 3 tie at 9 -> lowest doc_id (2) wins;
+    # group 10: docs 10 and 11 tie at 7 -> 10 wins
+    assert kept == {2, 10}
+    assert list(out["score"]) == [5, 9, 9, 7, 7]
