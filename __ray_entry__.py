@@ -1529,6 +1529,23 @@ def _q_dedup_keep_best(sf_dir: str) -> Any:
     return keep_best_per_group(groups, docs)
 
 
+
+def _q_hash_embed(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from greenocr_ray.functions.textstats import hash_embed
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(hash_embed, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["doc_id", "dim"])
+        .reset_index(drop=True)
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from greenocr_ray.functions import relational as R
 
@@ -1635,6 +1652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substrings": _q_dedup_substrings,
         "bpe_tokenize": _q_bpe_tokenize,
         "dedup_keep_best": _q_dedup_keep_best,
+        "hash_embed": _q_hash_embed,
     }
 
 
@@ -2889,5 +2907,21 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                       ORDER BY d.n_chars DESC, g.doc_id) = 1) AS keep
             FROM grp g JOIN documents d USING (doc_id)
             ORDER BY g.doc_id
+        """,
+        "hash_embed": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\w+')) AS w
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(CAST(concat('0x', substr(md5(w), 1, 8)) AS UBIGINT)
+                        % 16 AS BIGINT) AS dim,
+                   CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(w), 9, 1))
+                                          AS UBIGINT) % 2 = 0
+                                 THEN 1 ELSE -1 END) AS BIGINT) AS value
+            FROM toks
+            GROUP BY doc_id, dim
+            ORDER BY doc_id, dim
         """,
     }

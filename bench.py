@@ -242,6 +242,7 @@ def main() -> None:
         "knn_cosine",
         "llm_prep",
         "collocations",
+        "dedup_substrings",
     ):
         t0 = time.monotonic()
         res = qs[name](sf_dir)

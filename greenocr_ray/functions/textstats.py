@@ -200,3 +200,49 @@ def lexical_diversity(batch: pa.Table) -> pa.Table:
             "hapax_frac": pa.array(hapax, type=pa.float64()),
         }
     )
+
+
+def hash_embed(batch: pa.Table, dim: int = 16) -> pa.Table:
+    """Feature-hashing document embeddings (the hashing trick,
+    Weinberger et al. 2009): each token t contributes
+    sign(t)·count(t) to dimension md5(t) % dim — a deterministic,
+    vocabulary-free doc representation computable in one stateless
+    streaming pass (no model, no shuffle, nothing broadcast; the
+    per-batch token->(dim, sign) cache is vocabulary-bounded).
+
+    Emits sparse (doc_id, dim, value) rows — one row per dimension
+    that received at least one token (a signed sum can legitimately
+    be 0), values exact int64. dim index = first-8-hex-chars of
+    md5(token) mod dim; sign = parity of the 9th hex char — both
+    restated verbatim in the SQL oracle.
+    """
+    import hashlib
+
+    from collections import Counter
+
+    cache: dict[str, tuple[int, int]] = {}
+    ids, dims, vals = [], [], []
+    for did, s in zip(
+        batch.column("doc_id").to_pylist(),
+        batch.column("text").to_pylist(),
+    ):
+        acc: dict[int, int] = {}
+        for tok, c in Counter(_WORD_RE.findall(s.lower())).items():
+            v = cache.get(tok)
+            if v is None:
+                hx = hashlib.md5(tok.encode("utf-8")).hexdigest()
+                v = (int(hx[:8], 16) % dim, 1 if int(hx[8], 16) % 2 == 0 else -1)
+                cache[tok] = v
+            j, sign = v
+            acc[j] = acc.get(j, 0) + sign * c
+        for j in sorted(acc):
+            ids.append(did)
+            dims.append(j)
+            vals.append(acc[j])
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "dim": pa.array(dims, type=pa.int64()),
+            "value": pa.array(vals, type=pa.int64()),
+        }
+    )

@@ -1094,3 +1094,36 @@ def test_detect_stopwords_shuffle_path_matches_driver_path(ray_session):
     small = detect_stopwords(docs)
     shuffled = detect_stopwords(docs, driver_limit=0)
     pd.testing.assert_frame_equal(small, shuffled)
+
+
+def test_hash_embed_deterministic_and_sparse(ray_session):
+    """Feature hashing is deterministic, int-exact, and emits one row
+    per (doc, populated dim); signed counts sum correctly for a doc
+    whose tokens collide into one dimension."""
+    import hashlib
+
+    from greenocr_ray.functions.textstats import hash_embed
+
+    docs = rd.from_arrow(
+        _docs_table([(1, "cat cat dog"), (2, ""), (3, "cat")])
+    )
+    out = (
+        docs.map_batches(hash_embed, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["doc_id", "dim"])
+        .reset_index(drop=True)
+    )
+
+    def hv(tok):
+        hx = hashlib.md5(tok.encode()).hexdigest()
+        return int(hx[:8], 16) % 16, 1 if int(hx[8], 16) % 2 == 0 else -1
+
+    jc, sc = hv("cat")
+    jd, sd = hv("dog")
+    want = {}
+    want[(1, jc)] = want.get((1, jc), 0) + 2 * sc
+    want[(1, jd)] = want.get((1, jd), 0) + sd
+    want[(3, jc)] = sc
+    got = {(r.doc_id, r.dim): r.value for r in out.itertuples()}
+    assert got == want
+    assert 2 not in set(out["doc_id"])  # empty doc -> no rows
