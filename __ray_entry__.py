@@ -1546,6 +1546,13 @@ def _q_hash_embed(sf_dir: str) -> Any:
     )
 
 
+
+def _q_retention_cohorts(sf_dir: str) -> Any:
+    from greenocr_ray.functions.relational import q_retention_cohorts
+
+    return q_retention_cohorts(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from greenocr_ray.functions import relational as R
 
@@ -1653,6 +1660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokenize": _q_bpe_tokenize,
         "dedup_keep_best": _q_dedup_keep_best,
         "hash_embed": _q_hash_embed,
+        "retention_cohorts": _q_retention_cohorts,
     }
 
 
@@ -2923,5 +2931,19 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM toks
             GROUP BY doc_id, dim
             ORDER BY doc_id, dim
+        """,
+        "retention_cohorts": """
+            WITH uw AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 604800000000 AS wk
+              FROM events
+            ), coh AS (
+              SELECT user_id, min(wk) AS cwk FROM uw GROUP BY user_id
+            )
+            SELECT CAST(cwk AS BIGINT) AS cohort_week,
+                   CAST(wk - cwk AS BIGINT) AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM uw JOIN coh USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }

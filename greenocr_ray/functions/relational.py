@@ -1407,3 +1407,77 @@ def q_local_supplier_volume(sf_dir: str, num_partitions: int = 16) -> pd.DataFra
         out.sort_values(["revenue", "n_name"], ascending=[False, True])
         .reset_index(drop=True)[["n_name", "revenue", "n_lines"]]
     )
+
+
+# ----------------------------------------------- retention cohorts
+
+
+def q_retention_cohorts(sf_dir: str, nbuckets: int = 16) -> pd.DataFrame:
+    """Weekly retention-cohort matrix — the product-analytics shape:
+    cohort_week = a user's first active epoch-week, and for each
+    week_offset >= 0 the number of that cohort's users active in
+    cohort_week + offset (offset 0 row = cohort size).
+
+    Users are data-sized keys, so per-user min/distinct resolve in
+    user-hash bucket tasks (the next_event_gap pattern): one pass
+    emits batch-deduped (bucket, user_id, week) rows, ONE hash
+    shuffle co-locates each user's weeks, and bucket tasks emit
+    partial (cohort_week, week_offset, n_users) counts — output per
+    bucket is bounded by #weeks², so the driver fold is O(weeks² ×
+    buckets) regardless of user count. Week arithmetic pins
+    datetime64[us] explicitly (the rollup_events ns-coercion lesson).
+    """
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    week_us = 86_400_000_000 * 7
+
+    def user_weeks(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        wk = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype("int64")
+            // week_us
+        )
+        pairs = np.unique(np.stack([u, wk], axis=1), axis=0)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (pairs[:, 0] % nbuckets).astype(np.int32),
+                    type=pa.int32(),
+                ),
+                "user_id": pa.array(pairs[:, 0], type=pa.int64()),
+                "wk": pa.array(pairs[:, 1], type=pa.int64()),
+            }
+        )
+
+    def cohort_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "wk"])
+        coh = g.groupby("user_id", sort=False)["wk"].transform("min")
+        out = (
+            pd.DataFrame(
+                {
+                    "cohort_week": coh.to_numpy(),
+                    "week_offset": g["wk"].to_numpy() - coh.to_numpy(),
+                }
+            )
+            .groupby(["cohort_week", "week_offset"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        return out
+
+    out = combine_small_agg(
+        ds.map_batches(user_weeks, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=min(nbuckets, 8))
+        .map_groups(cohort_partial, batch_format="pandas"),
+        ["cohort_week", "week_offset"],
+        {"n_users": "sum"},
+    )
+    out["cohort_week"] = out["cohort_week"].astype("int64")
+    out["week_offset"] = out["week_offset"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return (
+        out.sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )

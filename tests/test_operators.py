@@ -573,3 +573,37 @@ def test_keep_best_per_group_selects_highest_score(ray_session):
     # group 10: docs 10 and 11 tie at 7 -> 10 wins
     assert kept == {2, 10}
     assert list(out["score"]) == [5, 9, 9, 7, 7]
+
+
+def test_retention_cohorts_matches_pandas(ray_session):
+    """Bucketed per-user cohort fold equals the pandas reference on a
+    corpus with users spanning multiple weeks and batches."""
+    from greenocr_ray.functions.relational import q_retention_cohorts
+
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    out = q_retention_cohorts(sf)
+
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["user_id", "ts"]).to_pandas()
+    wk = ev["ts"].to_numpy().astype("datetime64[us]").astype("int64") // (
+        86_400_000_000 * 7
+    )
+    uw = (
+        pd.DataFrame({"user_id": ev["user_id"], "wk": wk})
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    coh = uw.groupby("user_id")["wk"].transform("min")
+    want = (
+        pd.DataFrame({"cohort_week": coh, "week_offset": uw["wk"] - coh})
+        .groupby(["cohort_week", "week_offset"])
+        .size()
+        .reset_index(name="n_users")
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out, want.astype({"cohort_week": "int64", "week_offset": "int64", "n_users": "int64"})
+    )
+    assert (out["week_offset"] >= 0).all()
