@@ -1553,6 +1553,42 @@ def _q_retention_cohorts(sf_dir: str) -> Any:
     return q_retention_cohorts(sf_dir)
 
 
+
+def _q_cms_counts(sf_dir: str) -> Any:
+    """Machine-gated Count-Min Sketch: for the exact top-20 tokens
+    (SQL-recomputed), the CMS point estimate must satisfy the
+    overestimate property (est >= exact, provable) and the classic
+    eps-bound est - exact <= ceil(e*N/width) (deterministic for the
+    fixed md5 row hashes)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from greenocr_ray.functions.corpus import (
+        cms_estimate,
+        cms_token_counts,
+        top_tokens,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    exact = top_tokens(docs, k=20)
+    sketch = cms_token_counts(docs, width=4096, depth=4)
+    est = cms_estimate(sketch, list(exact["token"]))
+    n_total = int(sketch[0].sum())  # each row sums to total token count
+    bound = math.ceil(math.e * n_total / 4096)
+    ex = exact["n"].to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "token": exact["token"],
+            "n": pd.array(ex, dtype="int64"),
+            "overest_ok": list((est >= ex)),
+            "bound_ok": list((est - ex) <= bound),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from greenocr_ray.functions import relational as R
 
@@ -1661,6 +1697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "hash_embed": _q_hash_embed,
         "retention_cohorts": _q_retention_cohorts,
+        "cms_counts": _q_cms_counts,
     }
 
 
@@ -2945,5 +2982,14 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_users
             FROM uw JOIN coh USING (user_id)
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "cms_counts": r"""
+            WITH tc AS (
+              SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS token
+              FROM documents
+            ), cnt AS (SELECT token, count(*) AS n FROM tc GROUP BY token)
+            SELECT token, CAST(n AS BIGINT) AS n,
+                   TRUE AS overest_ok, TRUE AS bound_ok
+            FROM cnt ORDER BY n DESC, token LIMIT 20
         """,
     }

@@ -2540,3 +2540,93 @@ def dedup_substrings(
         .filter(lambda r: r["doc_id"] >= 0)
     )
     return cleaned
+
+
+# ----------------------------------------------- count-min sketch
+
+
+def cms_token_counts(
+    docs: rd.Dataset, width: int = 4096, depth: int = 4
+) -> np.ndarray:
+    """Count-Min Sketch of corpus token frequencies (Cormode &
+    Muthukrishnan 2005) — the mergeable fixed-size counting sketch
+    that completes the sketch family next to Misra-Gries (top-k) and
+    HLL (distinct): point-query ANY token's count after one pass,
+    O(width·depth) memory regardless of vocabulary.
+
+    Distributed: each batch builds its own width×depth partial (numpy
+    bincount per row, vectorized over the batch's token counter) and
+    the driver SUMS the fixed-size arrays — the merge is exact because
+    CMS is a linear sketch. Nothing vocabulary-scale anywhere. Row
+    hashes derive from token md5 (independent 32-bit slices), so the
+    sketch is deterministic and restated verbatim in tests/gates.
+    Guarantee: est(t) = min_r sketch[r][h_r(t)] >= true count always;
+    overestimate <= eps·N with prob 1-(1/2)^depth at width = e/eps.
+    """
+    import hashlib
+
+    from collections import Counter
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in pc.utf8_lower(t.column("text")).to_pylist():
+            c.update(_TOKEN_RE.findall(s))
+        sk = np.zeros((depth, width), dtype=np.int64)
+        if c:
+            toks = list(c.keys())
+            cnts = np.fromiter(c.values(), dtype=np.int64, count=len(toks))
+            digs = np.stack(
+                [
+                    np.frombuffer(
+                        hashlib.md5(tk.encode("utf-8")).digest(),
+                        dtype="<u4",
+                    )
+                    for tk in toks
+                ]
+            )  # (n_tokens, 4) independent 32-bit hash slices
+            for r in range(depth):
+                idx = digs[:, r % 4].astype(np.int64)
+                if r >= 4:  # >4 rows: fold upper/lower slices
+                    idx = idx ^ digs[:, (r + 1) % 4].astype(np.int64)
+                np.add.at(sk[r], idx % width, cnts)
+        return pa.table(
+            {
+                "cells": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sk.ravel(), type=pa.int64()), depth * width
+                )
+            }
+        )
+
+    sketch = np.zeros(depth * width, dtype=np.int64)
+    for b in docs.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=256, batch_format="pyarrow"
+    ):
+        col = b.column("cells")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = np.asarray(col.flatten()).reshape(len(b), depth * width)
+        sketch += vals.sum(axis=0)
+    return sketch.reshape(depth, width)
+
+
+def cms_estimate(
+    sketch: np.ndarray, tokens: list[str]
+) -> np.ndarray:
+    """Point-query the CMS: min over rows of the hashed cells."""
+    import hashlib
+
+    depth, width = sketch.shape
+    out = np.empty(len(tokens), dtype=np.int64)
+    for i, tk in enumerate(tokens):
+        dig = np.frombuffer(
+            hashlib.md5(tk.encode("utf-8")).digest(), dtype="<u4"
+        )
+        est = None
+        for r in range(depth):
+            idx = int(dig[r % 4])
+            if r >= 4:
+                idx ^= int(dig[(r + 1) % 4])
+            v = sketch[r][idx % width]
+            est = v if est is None else min(est, v)
+        out[i] = est
+    return out

@@ -757,3 +757,45 @@ def test_bpe_train_matches_reference_and_roundtrips(ray_session):
     n_words = sum(len(t.split()) for t in texts)
     assert int(s0["n_tokens"].sum()) == n_chars + n_words
     assert int(s20["n_tokens"].sum()) < int(s0["n_tokens"].sum())
+
+
+def test_cms_overestimates_and_merges_linearly(ray_session):
+    """CMS point estimates are >= exact counts for every token (the
+    overestimate property), and the distributed batch-partial merge
+    equals a single-machine sketch of the same corpus (linearity)."""
+    import hashlib
+    from collections import Counter
+
+    from greenocr_ray.functions.corpus import cms_estimate, cms_token_counts
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    vocab = [f"v{i}" for i in range(50)]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(1, 40))))
+        for _ in range(60)
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": texts,
+            }
+        )
+    )
+    width, depth = 128, 4
+    sk = cms_token_counts(ds, width=width, depth=depth)
+    exact = Counter(w for t in texts for w in t.split())
+    toks = sorted(exact)
+    est = cms_estimate(sk, toks)
+    ex = np.array([exact[t] for t in toks], dtype=np.int64)
+    assert (est >= ex).all()
+    # each row's cells sum to the total token count (linear sketch)
+    total = int(sum(exact.values()))
+    assert all(int(sk[r].sum()) == total for r in range(depth))
+    # single-machine reference sketch is identical
+    ref = np.zeros((depth, width), dtype=np.int64)
+    for t, c in exact.items():
+        dig = np.frombuffer(hashlib.md5(t.encode()).digest(), dtype="<u4")
+        for r in range(depth):
+            ref[r][int(dig[r % 4]) % width] += c
+    assert (sk == ref).all()
