@@ -1593,10 +1593,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from greenocr_ray.functions import relational as R
 
     return {
-        # r4 rotation: entries the r3 driver snapshot did NOT
-        # gate come FIRST, so a capped driver pass covers them
-        # (VERDICT r3 next-step #9); all entries pass the local
-        # gate mimic (tools/check_oracle.py) either way.
+        # r5 rotation: the 10 entries neither the r3 nor the r4
+        # driver snapshot gated come FIRST, so a capped (50/round)
+        # driver pass covers them (VERDICT r4 next-step #1); all
+        # entries pass the local gate mimic (tools/check_oracle.py)
+        # either way.
+        "corr_stats": _q_corr_stats,
+        "local_supplier_volume": _q_local_supplier_volume,
+        "collocations": _q_collocations,
+        "semdedup": _q_semdedup,
+        "dedup_substrings": _q_dedup_substrings,
+        "bpe_tokenize": _q_bpe_tokenize,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "hash_embed": _q_hash_embed,
+        "retention_cohorts": _q_retention_cohorts,
+        "cms_counts": _q_cms_counts,
+        # gated green in CORRECTNESS_r04.json:
         "bigram_logprob": _q_bigram_logprob,
         "inverted_index": _q_inverted_index,
         "temperature_mix": _q_temperature_mix,
@@ -1688,16 +1700,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stopwords": _q_stopwords,
         "split_leakage": _q_split_leakage,
         "snapshot_diff": _q_snapshot_diff,
-        "corr_stats": _q_corr_stats,
-        "local_supplier_volume": _q_local_supplier_volume,
-        "collocations": _q_collocations,
-        "semdedup": _q_semdedup,
-        "dedup_substrings": _q_dedup_substrings,
-        "bpe_tokenize": _q_bpe_tokenize,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "hash_embed": _q_hash_embed,
-        "retention_cohorts": _q_retention_cohorts,
-        "cms_counts": _q_cms_counts,
     }
 
 

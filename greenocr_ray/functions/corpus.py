@@ -1018,10 +1018,15 @@ def unigram_logprob(docs: rd.Dataset, nbuckets: int = 32) -> pd.DataFrame:
     -> (doc_id, n_tokens, avg_logprob) rows."""
 
     # global token total: vectorized regex count (RE2 ASCII \\w ==
-    # _TOKEN_RE with re.ASCII), one scalar on the driver
+    # _TOKEN_RE with re.ASCII). Lowercase FIRST so the total counts
+    # exactly what the per-doc pass tokenizes — Unicode whose
+    # lowercase form gains ASCII word chars ('İ'→'i̇') would
+    # otherwise make the totals diverge (ADVICE r4 #1).
     def tok_count(t: pa.Table) -> pa.Table:
         n = pc.sum(
-            pc.count_substring_regex(t.column("text"), r"\w+")
+            pc.count_substring_regex(
+                pc.utf8_lower(t.column("text")), r"\w+"
+            )
         ).as_py()
         return pa.table({"n": pa.array([n or 0], type=pa.int64())})
 
