@@ -1557,11 +1557,13 @@ def _q_retention_cohorts(sf_dir: str) -> Any:
 def _q_cms_counts(sf_dir: str) -> Any:
     """Machine-gated Count-Min Sketch: for the exact top-20 tokens
     (SQL-recomputed), the CMS point estimate must satisfy the
-    overestimate property (est >= exact, provable) and the classic
-    eps-bound est - exact <= ceil(e*N/width) (deterministic for the
-    fixed md5 row hashes)."""
-    import math
-
+    overestimate property (est >= exact) — the one guarantee that is
+    PROVABLE for any corpus.  The classic eps-bound
+    (est - exact <= ceil(e*N/width)) holds only with probability
+    1 - 2^-depth per query, so it is asserted in the unit test on the
+    fixed fixture (tests/test_corpus.py) rather than pinned TRUE in
+    the oracle, where a different corpus/SF could legitimately flip
+    it without any code defect (ADVICE r4 #2)."""
     import numpy as np
     import pandas as pd
     import ray.data as rd
@@ -1576,15 +1578,12 @@ def _q_cms_counts(sf_dir: str) -> Any:
     exact = top_tokens(docs, k=20)
     sketch = cms_token_counts(docs, width=4096, depth=4)
     est = cms_estimate(sketch, list(exact["token"]))
-    n_total = int(sketch[0].sum())  # each row sums to total token count
-    bound = math.ceil(math.e * n_total / 4096)
     ex = exact["n"].to_numpy(dtype=np.int64)
     return pd.DataFrame(
         {
             "token": exact["token"],
             "n": pd.array(ex, dtype="int64"),
             "overest_ok": list((est >= ex)),
-            "bound_ok": list((est - ex) <= bound),
         }
     )
 
@@ -2991,7 +2990,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
               FROM documents
             ), cnt AS (SELECT token, count(*) AS n FROM tc GROUP BY token)
             SELECT token, CAST(n AS BIGINT) AS n,
-                   TRUE AS overest_ok, TRUE AS bound_ok
+                   TRUE AS overest_ok
             FROM cnt ORDER BY n DESC, token LIMIT 20
         """,
     }

@@ -1452,6 +1452,15 @@ def q_retention_cohorts(sf_dir: str, nbuckets: int = 16) -> pd.DataFrame:
         )
 
     def cohort_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["user_id"] >= 0]  # drop sentinel carrier rows
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "cohort_week": pd.array([], dtype="int64"),
+                    "week_offset": pd.array([], dtype="int64"),
+                    "n_users": pd.array([], dtype="int64"),
+                }
+            )
         g = g.drop_duplicates(["user_id", "wk"])
         coh = g.groupby("user_id", sort=False)["wk"].transform("min")
         out = (
@@ -1467,9 +1476,26 @@ def q_retention_cohorts(sf_dir: str, nbuckets: int = 16) -> pd.DataFrame:
         )
         return out
 
+    # sentinel rows pin every hash partition of the bucket shuffle
+    # (the _tf_sentinels idiom): empty upstream blocks or hash-empty
+    # target partitions would otherwise hit the Ray 2.49.2
+    # schema-broadcast/aggregator-finalize race (ADVICE r4 #3);
+    # cohort_partial filters the user_id=-1 carrier rows.
+    from ..rayutil import covering_bucket_values
+
+    num_partitions = min(nbuckets, 8)
+    svals = covering_bucket_values(nbuckets, num_partitions)
+    sent = pa.table(
+        {
+            "bucket": pa.array(svals, type=pa.int32()),
+            "user_id": pa.array([-1] * len(svals), type=pa.int64()),
+            "wk": pa.array([0] * len(svals), type=pa.int64()),
+        }
+    )
     out = combine_small_agg(
         ds.map_batches(user_weeks, batch_format="pyarrow")
-        .groupby("bucket", num_partitions=min(nbuckets, 8))
+        .union(rd.from_arrow(sent))
+        .groupby("bucket", num_partitions=num_partitions)
         .map_groups(cohort_partial, batch_format="pandas"),
         ["cohort_week", "week_offset"],
         {"n_users": "sum"},

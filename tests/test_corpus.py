@@ -789,6 +789,14 @@ def test_cms_overestimates_and_merges_linearly(ray_session):
     est = cms_estimate(sk, toks)
     ex = np.array([exact[t] for t in toks], dtype=np.int64)
     assert (est >= ex).all()
+    # classic eps-bound holds per query only w.p. >= 1 - e^-depth
+    # (~98% at depth=4); on this fixed fixture exactly 1 of 50 tokens
+    # exceeds it — which is WHY the oracle gate asserts only the
+    # provable overestimate property. Assert the probabilistic form.
+    import math
+
+    bound = math.ceil(math.e * sum(exact.values()) / width)
+    assert ((est - ex) > bound).mean() <= 0.05
     # each row's cells sum to the total token count (linear sketch)
     total = int(sum(exact.values()))
     assert all(int(sk[r].sum()) == total for r in range(depth))
