@@ -888,33 +888,41 @@ def connected_dedup_groups(
 
 
 def keep_best_per_group(
-    groups: pd.DataFrame,
+    groups: pd.DataFrame | rd.Dataset,
     docs: rd.Dataset,
     score_col: str = "n_chars",
-) -> pd.DataFrame:
+) -> pd.DataFrame | rd.Dataset:
     """Quality-aware representative selection for near-dup groups:
     within each transitive dedup group keep the HIGHEST-scoring member
     (ties -> lowest doc_id) instead of the arbitrary lowest-id doc —
     the curation rule real pipelines want (keep the longest / most
     complete variant of a near-duplicated page).
 
-    ``groups`` is ``connected_dedup_groups`` output — bounded by
-    near-duplicated docs, not corpus size. Member scores are fetched
-    with ONE streaming pass over ``docs`` that broadcasts the member
-    id set and emits rows ONLY for members (output bounded by
-    |groups|); the argmax folds in pandas on that bounded frame.
+    Adaptive like connected_dedup_groups: a pd.DataFrame ``groups``
+    (bounded near-dup set) broadcasts a SORTED member id array and
+    fetches scores with one streaming semi-join pass (np.isin per
+    batch — no per-row Python) and folds the argmax in pandas on the
+    bounded frame, returning a pd.DataFrame. A Dataset ``groups``
+    (heavily duplicated crawl, membership too large to broadcast)
+    takes the fully distributed path — doc-hash bucket semi-join then
+    group-hash bucket argmax, two exchanges, nothing on the driver —
+    and returns a Dataset.
     -> (doc_id, group_id, score, keep) sorted by doc_id.
     """
     import ray
 
+    if isinstance(groups, rd.Dataset):
+        return _keep_best_distributed(groups, docs, score_col)
     if not len(groups):
         return pd.DataFrame(columns=["doc_id", "group_id", "score", "keep"])
-    members_ref = ray.put(frozenset(int(d) for d in groups["doc_id"]))
+    members_ref = ray.put(
+        np.unique(groups["doc_id"].to_numpy(dtype=np.int64))
+    )
 
     def member_scores(t: pa.Table) -> pa.Table:
-        members = ray.get(members_ref)
+        members = ray.get(members_ref)  # sorted unique int64 array
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        mask = np.array([int(i) in members for i in ids], dtype=bool)
+        mask = np.isin(ids, members)
         return pa.table(
             {
                 "doc_id": pa.array(ids[mask], type=pa.int64()),
@@ -939,4 +947,146 @@ def keep_best_per_group(
     return (
         out.sort_values("doc_id")
         .reset_index(drop=True)[["doc_id", "group_id", "score", "keep"]]
+    )
+
+
+def _keep_best_distributed(
+    groups: rd.Dataset,
+    docs: rd.Dataset,
+    score_col: str,
+    nbuckets: int = 32,
+) -> rd.Dataset:
+    """No-broadcast :func:`keep_best_per_group`: membership rows and
+    (doc_id, score) rows meet in doc-hash bucket tasks (a distributed
+    semi-join — the corpus ships one 16-byte row per doc, ONCE), then
+    scored members re-bucket by group hash for a vectorized in-bucket
+    argmax. Two exchanges, output bounded by |groups|; nothing lands
+    on the driver. Used when the near-dup group set itself is too
+    large to broadcast (a heavily duplicated crawl)."""
+    from ..rayutil import covering_bucket_values
+
+    num_partitions = min(nbuckets, 8)
+
+    def g_rows(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (d % nbuckets).astype(np.int32), type=pa.int32()
+                ),
+                "doc_id": pa.array(d, type=pa.int64()),
+                "group_id": pc.cast(t.column("group_id"), pa.int64()),
+                "score": pa.array(np.zeros(len(d), np.int64), pa.int64()),
+                "kind": pa.array(np.zeros(len(d), np.int8), pa.int8()),
+            }
+        )
+
+    def s_rows(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (d % nbuckets).astype(np.int32), type=pa.int32()
+                ),
+                "doc_id": pa.array(d, type=pa.int64()),
+                "group_id": pa.array(np.full(len(d), -1, np.int64)),
+                "score": pc.cast(t.column(score_col), pa.int64()),
+                "kind": pa.array(np.ones(len(d), np.int8), pa.int8()),
+            }
+        )
+
+    svals = covering_bucket_values(nbuckets, num_partitions)
+    sent = pa.table(
+        {
+            "bucket": pa.array(svals, type=pa.int32()),
+            "doc_id": pa.array([-1] * len(svals), type=pa.int64()),
+            "group_id": pa.array([-1] * len(svals), type=pa.int64()),
+            "score": pa.array([0] * len(svals), type=pa.int64()),
+            "kind": pa.array([-1] * len(svals), type=pa.int8()),
+        }
+    )
+
+    def semi_join(g: pd.DataFrame) -> pa.Table:
+        mem = g[g["kind"] == 0]
+        if not len(mem):
+            # typed carrier (group_id -1, filtered in the argmax task)
+            return pa.table(
+                {
+                    "gbucket": pa.array([0], type=pa.int32()),
+                    "doc_id": pa.array([-1], type=pa.int64()),
+                    "group_id": pa.array([-1], type=pa.int64()),
+                    "score": pa.array([0], type=pa.int64()),
+                }
+            )
+        sc = g[g["kind"] == 1]
+        j = mem[["doc_id", "group_id"]].merge(
+            sc[["doc_id", "score"]], on="doc_id", how="left"
+        )
+        j["score"] = j["score"].fillna(0).astype("int64")
+        gid = j["group_id"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "gbucket": pa.array(
+                    (gid % nbuckets).astype(np.int32), type=pa.int32()
+                ),
+                "doc_id": pa.array(
+                    j["doc_id"].to_numpy(dtype=np.int64), type=pa.int64()
+                ),
+                "group_id": pa.array(gid, type=pa.int64()),
+                "score": pa.array(
+                    j["score"].to_numpy(dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    gsent = pa.table(
+        {
+            "gbucket": pa.array(svals, type=pa.int32()),
+            "doc_id": pa.array([-1] * len(svals), type=pa.int64()),
+            "group_id": pa.array([-1] * len(svals), type=pa.int64()),
+            "score": pa.array([0] * len(svals), type=pa.int64()),
+        }
+    )
+
+    def argmax(t: pa.Table) -> pa.Table:
+        gid = t.column("group_id").to_numpy(zero_copy_only=False)
+        mask = gid >= 0
+        if not mask.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "group_id": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.int64()),
+                    "keep": pa.array([], type=pa.bool_()),
+                }
+            )
+        gid = gid[mask]
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)[mask]
+        sc = t.column("score").to_numpy(zero_copy_only=False)[mask]
+        # (group asc, score desc, doc asc): first row per group wins
+        order = np.lexsort((did, -sc, gid))
+        gid, did, sc = gid[order], did[order], sc[order]
+        first = np.empty(len(gid), dtype=bool)
+        first[0] = True
+        first[1:] = gid[1:] != gid[:-1]
+        return pa.table(
+            {
+                "doc_id": pa.array(did, type=pa.int64()),
+                "group_id": pa.array(gid, type=pa.int64()),
+                "score": pa.array(sc, type=pa.int64()),
+                "keep": pa.array(first, type=pa.bool_()),
+            }
+        )
+
+    scored = (
+        groups.map_batches(g_rows, batch_format="pyarrow")
+        .union(docs.map_batches(s_rows, batch_format="pyarrow"))
+        .union(rd.from_arrow(sent))
+        .groupby("bucket", num_partitions=num_partitions)
+        .map_groups(semi_join, batch_format="pandas")
+    )
+    return (
+        scored.union(rd.from_arrow(gsent))
+        .groupby("gbucket", num_partitions=num_partitions)
+        .map_groups(argmax, batch_format="pyarrow")
     )

@@ -575,6 +575,40 @@ def test_keep_best_per_group_selects_highest_score(ray_session):
     assert list(out["score"]) == [5, 9, 9, 7, 7]
 
 
+def test_keep_best_distributed_matches_broadcast(ray_session):
+    """A Dataset groups input takes the no-broadcast semi-join +
+    in-bucket argmax path and returns a Dataset equal to the
+    broadcast pd path row-for-row."""
+    from greenocr_ray.functions.dedup import keep_best_per_group
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    n_docs, n_groups = 600, 80
+    member = rng.random(n_docs) < 0.4
+    ids = np.arange(n_docs, dtype=np.int64)[member]
+    gids = rng.integers(0, n_groups, size=len(ids)).astype(np.int64)
+    groups_pd = pd.DataFrame({"doc_id": ids, "group_id": gids})
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n_docs), type=pa.int64()),
+                "n_chars": pa.array(
+                    rng.integers(1, 50, size=n_docs), type=pa.int64()
+                ),
+            }
+        )
+    ).repartition(8)
+    want = keep_best_per_group(groups_pd, docs)
+    groups_ds = rd.from_pandas(groups_pd).repartition(4)
+    got_ds = keep_best_per_group(groups_ds, docs)
+    assert isinstance(got_ds, rd.Dataset)
+    got = (
+        got_ds.to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[["doc_id", "group_id", "score", "keep"]]
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_retention_cohorts_matches_pandas(ray_session):
     """Bucketed per-user cohort fold equals the pandas reference on a
     corpus with users spanning multiple weeks and batches."""
