@@ -39,14 +39,16 @@ def split_of_ids(doc_ids: list) -> list[str]:
     the first 2 hex chars < 'cd' (205/256), 'valid' < 'e6' (25/256),
     else 'test' (26/256). Stable across runs, machines, and languages
     (DuckDB: md5(CAST(doc_id AS VARCHAR)))."""
-    out = []
-    for d in doc_ids:
-        h = hashlib.md5(str(d).encode()).hexdigest()[:2]
-        for name, bound in _SPLIT_BOUNDS:
-            if h < bound:
-                out.append(name)
-                break
-    return out
+    from ..rayutil import md5_digests_of_ints
+
+    # first 2 hex chars == first digest byte; vectorized thresholds
+    b0 = md5_digests_of_ints(np.asarray(list(doc_ids), dtype=np.int64))[:, 0]
+    bounds = [int(b, 16) for _, b in _SPLIT_BOUNDS[:-1]]
+    names = [n for n, _ in _SPLIT_BOUNDS]
+    out = np.where(
+        b0 < bounds[0], names[0], np.where(b0 < bounds[1], names[1], names[2])
+    )
+    return list(out)
 
 
 def train_test_split(docs: rd.Dataset) -> rd.Dataset:
@@ -391,15 +393,10 @@ def mix_sources(
     rate = {s: targets[s] * T / n_map[s] for s in targets if s in n_map}
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
+        from ..rayutil import md5_u60_of_ints
+
         r = df["source"].map(rate).fillna(0.0).to_numpy(dtype=np.float64)
-        u = np.array(
-            [
-                (int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) + 0.5)
-                / float(1 << 60)
-                for d in df["doc_id"]
-            ],
-            dtype=np.float64,
-        )
+        u = md5_u60_of_ints(df["doc_id"].to_numpy(dtype=np.int64))
         return df[u < r]
 
     return docs.map_batches(keep, batch_format="pandas", batch_size=65536)
@@ -619,18 +616,13 @@ def weighted_sample(
     """
 
     def partial(t: pa.Table) -> pa.Table:
+        from ..rayutil import md5_u60_of_ints
+
         ids = t.column("doc_id").to_pylist()
         w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(
             np.float64
         )
-        u = np.array(
-            [
-                int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16)
-                for d in ids
-            ],
-            dtype=np.float64,
-        )
-        key = -np.log((u + 0.5) / float(1 << 60)) / w
+        key = -np.log(md5_u60_of_ints(np.asarray(ids, dtype=np.int64))) / w
         out = pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
@@ -655,6 +647,66 @@ def weighted_sample(
 
 
 # ------------------------------------------------- duplicate n-grams
+
+_GRAM_B1 = np.uint64(0x9E3779B97F4A7C15)
+_GRAM_B2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _flat_gram_hashes(
+    texts: "list[str]", n: int
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]":
+    """Batch-wide vectorized word-n-gram hashing shared by
+    dup_ngram_stats and dedup_substrings: tokenize each (already
+    lowercased) text, md5 each DISTINCT token once per batch
+    (np.unique + inverse — no per-token Python dict loop), then roll
+    the two 64-bit polynomial gram hashes over the ONE flat token-hash
+    array with n Horner multiply-adds, masking windows that cross a
+    document boundary. Gram hash values are identical to the previous
+    per-doc loop (same per-token md5, same Horner bases).
+    -> (doc_idx, pos, a, b, lens): per valid window, the batch-local
+    doc index, the 1-based position within its doc, and the two
+    hashes; plus the per-doc token counts.
+    """
+    from ..rayutil import md5_digests
+
+    ws = [_TOKEN_RE.findall(s) for s in texts]
+    lens = np.fromiter((len(w) for w in ws), dtype=np.int64, count=len(ws))
+    total = int(lens.sum())
+    empty = np.array([], dtype=np.int64)
+    if total < n:
+        return (
+            empty,
+            empty,
+            empty.astype(np.uint64),
+            empty.astype(np.uint64),
+            lens,
+        )
+    import itertools
+
+    flat = np.array(
+        list(itertools.chain.from_iterable(ws)), dtype=object
+    )
+    uq, inv = np.unique(flat, return_inverse=True)
+    dig = md5_digests([t.encode("utf-8") for t in uq])
+    uh1 = dig[:, :8].copy().view("<u8").reshape(-1)
+    uh2 = dig[:, 8:].copy().view("<u8").reshape(-1)
+    h1f, h2f = uh1[inv], uh2[inv]
+    m_total = total - n + 1
+    a = np.zeros(m_total, dtype=np.uint64)
+    b = np.zeros(m_total, dtype=np.uint64)
+    for j in range(n):  # n shifted multiply-adds, wraps mod 2^64
+        np.multiply(a, _GRAM_B1, out=a)
+        np.add(a, h1f[j : j + m_total], out=a)
+        np.multiply(b, _GRAM_B2, out=b)
+        np.add(b, h2f[j : j + m_total], out=b)
+    doc_idx = np.repeat(np.arange(len(ws), dtype=np.int64), lens)
+    starts = np.zeros(len(ws), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    p = np.arange(m_total, dtype=np.int64)
+    valid = doc_idx[p] == doc_idx[p + n - 1]
+    p = p[valid]
+    di = doc_idx[p]
+    return di, p - starts[di] + 1, a[valid], b[valid], lens
 
 
 def dup_ngram_stats(
@@ -682,10 +734,6 @@ def dup_ngram_stats(
     """
     from ray.data.aggregate import Sum
 
-    B1 = np.uint64(0x9E3779B97F4A7C15)
-    B2 = np.uint64(0xC2B2AE3D27D4EB4F)
-    pair_dt = np.dtype([("a", "<u8"), ("b", "<u8")])
-
     def gram_partial(t: pa.Table) -> pa.Table:
         # one pass emits BOTH row kinds through the one gram shuffle:
         # gram rows (c >= 1) and one per-doc totals CARRIER row
@@ -693,48 +741,25 @@ def dup_ngram_stats(
         # former separate totals branch (its own read + map + union)
         # into this plan halved the fixed operator cost at small scale
         # (VERDICT r4 next-step #2) and adds only n_docs rows to the
-        # exchange
-        tok_cache: dict[str, tuple[int, int]] = {}
-        ids, bufs, counts = [], [], []
-        tot_ids, tot_m = [], []
-        for doc_id, s in zip(
-            t.column("doc_id").to_pylist(),
-            pc.utf8_lower(t.column("text")).to_pylist(),
-        ):
-            w = _TOKEN_RE.findall(s)
-            m = len(w) - n + 1
-            tot_ids.append(doc_id)
-            tot_m.append(max(m, 0))
-            if m <= 0:
-                continue
-            h1 = np.empty(len(w), np.uint64)
-            h2 = np.empty(len(w), np.uint64)
-            for i, tk in enumerate(w):
-                v = tok_cache.get(tk)
-                if v is None:
-                    d = hashlib.md5(tk.encode("utf-8")).digest()
-                    v = (
-                        int.from_bytes(d[:8], "little"),
-                        int.from_bytes(d[8:], "little"),
-                    )
-                    tok_cache[tk] = v
-                h1[i], h2[i] = v
-            g = np.zeros(m, dtype=pair_dt)
-            a, b = g["a"], g["b"]
-            for j in range(n):  # n shifted multiply-adds, wraps mod 2^64
-                np.multiply(a, B1, out=a)
-                np.add(a, h1[j : j + m], out=a)
-                np.multiply(b, B2, out=b)
-                np.add(b, h2[j : j + m], out=b)
-            uq, cnt = np.unique(g, return_counts=True)
-            ids.append(np.full(len(uq), doc_id, dtype=np.int64))
-            bufs.append(uq)
-            counts.append(cnt.astype(np.int64))
-        if ids:
-            uqs = np.concatenate(bufs)
-            h1o, h2o = uqs["a"], uqs["b"]
-            ido = np.concatenate(ids)
-            co = np.concatenate(counts)
+        # exchange. Hashing is batch-wide vectorized (no per-token
+        # Python dict loop): see _flat_gram_hashes.
+        doc_ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+        di, _pos, a, b, lens = _flat_gram_hashes(
+            pc.utf8_lower(t.column("text")).to_pylist(), n
+        )
+        tid = doc_ids
+        tm = np.maximum(lens - (n - 1), 0)
+        if len(di):
+            # one batch-wide C sort dedups (doc, gram) and counts
+            # within-doc repeats (was an np.unique per document)
+            trip = np.empty(
+                len(di), dtype=np.dtype([("d", "<i8"), ("a", "<u8"), ("b", "<u8")])
+            )
+            trip["d"], trip["a"], trip["b"] = di, a, b
+            uq, co = np.unique(trip, return_counts=True)
+            ido = doc_ids[uq["d"]]
+            h1o, h2o = uq["a"], uq["b"]
+            co = co.astype(np.int64)
         else:
             h1o = h2o = np.array([], np.uint64)
             ido = co = np.array([], np.int64)
@@ -744,8 +769,6 @@ def dup_ngram_stats(
         # tiny frames; measured the whole query at 11 s vs 3 s
         # bucketed at sf0.1)
         bkt = ((h1o ^ h2o) % np.uint64(nbuckets)).astype(np.int32)
-        tid = np.asarray(tot_ids, dtype=np.int64)
-        tm = np.asarray(tot_m, dtype=np.int64)
         return pa.table(
             {
                 "h1": pa.array(
@@ -1340,12 +1363,18 @@ def stratified_sample(
     -> (group, doc_id) rows."""
 
     def partial(t: pa.Table) -> pa.Table:
+        # hex-digest sort order == big-endian digest byte order, so
+        # the two uint64 halves sort identically to the hex string —
+        # vectorized md5, no per-row hexdigest loop, 16 bytes/row on
+        # the wire instead of a 32-char string
+        from ..rayutil import md5_digests_of_ints
+
         df = t.select([group_col, "doc_id"]).to_pandas()
-        df["h"] = [
-            hashlib.md5(str(d).encode()).hexdigest() for d in df["doc_id"]
-        ]
+        dig = md5_digests_of_ints(df["doc_id"].to_numpy(dtype=np.int64))
+        df["h1"] = dig[:, :8].copy().view(">u8").reshape(-1).astype(np.uint64)
+        df["h2"] = dig[:, 8:].copy().view(">u8").reshape(-1).astype(np.uint64)
         top = (
-            df.sort_values(["h", "doc_id"])
+            df.sort_values(["h1", "h2", "doc_id"])
             .groupby(group_col, sort=False)
             .head(n_per_group)
         )
@@ -1353,16 +1382,17 @@ def stratified_sample(
             {
                 group_col: pa.array(top[group_col], type=pa.string()),
                 "doc_id": pa.array(top["doc_id"], type=pa.int64()),
-                "h": pa.array(top["h"], type=pa.string()),
+                "h1": pa.array(top["h1"].to_numpy(), type=pa.uint64()),
+                "h2": pa.array(top["h2"].to_numpy(), type=pa.uint64()),
             }
         )
 
     parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
     out = (
-        parts.sort_values(["h", "doc_id"])
+        parts.sort_values(["h1", "h2", "doc_id"])
         .groupby(group_col, sort=True)
         .head(n_per_group)
-        .drop(columns=["h"])
+        .drop(columns=["h1", "h2"])
         .sort_values([group_col, "doc_id"])
         .reset_index(drop=True)
     )
@@ -2284,15 +2314,10 @@ def temperature_mix(docs: rd.Dataset, alpha: float = 0.5) -> rd.Dataset:
     rate = {s: (n / n_min) ** (alpha - 1.0) for s, n in n_map.items()}
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
+        from ..rayutil import md5_u60_of_ints
+
         r = df["source"].map(rate).fillna(0.0).to_numpy(dtype=np.float64)
-        u = np.array(
-            [
-                (int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) + 0.5)
-                / float(1 << 60)
-                for d in df["doc_id"]
-            ],
-            dtype=np.float64,
-        )
+        u = md5_u60_of_ints(df["doc_id"].to_numpy(dtype=np.int64))
         return df[u < r]
 
     return docs.map_batches(keep, batch_format="pandas", batch_size=65536)
@@ -2561,52 +2586,17 @@ def dedup_substrings(
     """
     from ..rayutil import covering_bucket_values
 
-    B1 = np.uint64(0x9E3779B97F4A7C15)
-    B2 = np.uint64(0xC2B2AE3D27D4EB4F)
     num_partitions = min(nbuckets, 8)
 
     def gram_occurrences(t: pa.Table) -> pa.Table:
-        tok_cache: dict[str, tuple[int, int]] = {}
-        ids, poss, h1s, h2s = [], [], [], []
-        for doc_id, s in zip(
-            t.column("doc_id").to_pylist(),
-            pc.utf8_lower(t.column("text")).to_pylist(),
-        ):
-            w = _TOKEN_RE.findall(s)
-            m = len(w) - n + 1
-            if m <= 0:
-                continue
-            h1 = np.empty(len(w), np.uint64)
-            h2 = np.empty(len(w), np.uint64)
-            for i, tk in enumerate(w):
-                v = tok_cache.get(tk)
-                if v is None:
-                    d = hashlib.md5(tk.encode("utf-8")).digest()
-                    v = (
-                        int.from_bytes(d[:8], "little"),
-                        int.from_bytes(d[8:], "little"),
-                    )
-                    tok_cache[tk] = v
-                h1[i], h2[i] = v
-            a = np.zeros(m, dtype=np.uint64)
-            b = np.zeros(m, dtype=np.uint64)
-            for j in range(n):  # n shifted multiply-adds, wraps mod 2^64
-                np.multiply(a, B1, out=a)
-                np.add(a, h1[j : j + m], out=a)
-                np.multiply(b, B2, out=b)
-                np.add(b, h2[j : j + m], out=b)
-            ids.append(np.full(m, doc_id, dtype=np.int64))
-            poss.append(np.arange(1, m + 1, dtype=np.int64))  # 1-based
-            h1s.append(a)
-            h2s.append(b)
-        if ids:
-            ido = np.concatenate(ids)
-            poso = np.concatenate(poss)
-            h1o = np.concatenate(h1s)
-            h2o = np.concatenate(h2s)
-        else:
-            ido = poso = np.array([], np.int64)
-            h1o = h2o = np.array([], np.uint64)
+        # batch-wide vectorized hashing (shared _flat_gram_hashes —
+        # no per-token Python dict loop, one md5 per DISTINCT token
+        # per batch via np.unique)
+        doc_ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+        di, poso, h1o, h2o, _lens = _flat_gram_hashes(
+            pc.utf8_lower(t.column("text")).to_pylist(), n
+        )
+        ido = doc_ids[di] if len(di) else np.array([], np.int64)
         return pa.table(
             {
                 "bucket": pa.array(

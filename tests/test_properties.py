@@ -122,3 +122,44 @@ def test_vshear_roundtrip_center_preserved(seed, angle):
     m = 12  # border rows touched by fill
     err = np.abs(back[m : h - m, :] - img[m : h - m, :]).max()
     assert err < 0.12
+
+
+def test_vectorized_md5_bit_exact_and_u60_rule():
+    """The numpy single-block MD5 (RFC 1321) is bit-exact with hashlib
+    across lengths incl. the 55/56-byte single/multi-block boundary
+    and non-ASCII bytes; the u60 sampling rule and the int fast path
+    match the reference per-row forms exactly (incl. negatives)."""
+    import hashlib
+
+    import numpy as np
+
+    from greenocr_ray.rayutil import (
+        md5_digests,
+        md5_digests_of_ints,
+        md5_u60_of_ints,
+    )
+
+    msgs = (
+        [str(i).encode() for i in range(300)]
+        + [b"", b"a" * 54, b"a" * 55, b"b" * 56, b"x" * 200]
+        + ["üñïçødé".encode(), b"\x00\xff" * 10]
+    )
+    got = md5_digests(msgs)
+    for i, m in enumerate(msgs):
+        assert bytes(got[i]) == hashlib.md5(m).digest()
+
+    ids = np.concatenate(
+        [np.arange(2000), np.array([-1, -987654321, 2**62, 0])]
+    )
+    dig = md5_digests_of_ints(ids)
+    for i, d in enumerate(ids):
+        assert bytes(dig[i]) == hashlib.md5(str(int(d)).encode()).digest()
+    u = md5_u60_of_ints(ids)
+    want = np.array(
+        [
+            (int(hashlib.md5(str(int(d)).encode()).hexdigest()[:15], 16) + 0.5)
+            / float(1 << 60)
+            for d in ids
+        ]
+    )
+    assert np.array_equal(u, want)
