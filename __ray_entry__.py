@@ -134,6 +134,30 @@ def _q_extract_png_verify(sf_dir: str) -> Any:
     return _spans_match_frame(res, paths)
 
 
+def _q_extract_jpeg_verify(sf_dir: str) -> Any:
+    """Extraction over baseline-JPEG media payloads (crawl corpora are
+    JPEG-heavy; the reference reads whatever cv2 supports,
+    exe_t.py:482): the media table is re-encoded with the pure-numpy
+    baseline JPEG encoder (q=95), the OCR actors sniff the FFD8FF
+    signature and decode with greenocr_ray.jpeg, and the output must
+    still match the expected spans doc-for-doc — i.e. recognition is
+    exact through a real lossy codec roundtrip."""
+    import ray.data as rd
+
+    from greenocr_ray.functions.multimodal import encode_media_jpeg
+    from greenocr_ray.pipelines.extract import ExtractOptions, extract_dataset
+
+    paths = _interleaved(sf_dir, max_docs=200)
+    docs = rd.read_parquet(paths["documents"], columns=["doc_id", "spans"])
+    media = rd.read_parquet(paths["media"]).map_batches(
+        encode_media_jpeg, batch_format="pyarrow"
+    )
+    res = extract_dataset(
+        docs, media, ExtractOptions(ocr_concurrency=(1, 8))
+    ).to_pandas().set_index("doc_id")
+    return _spans_match_frame(res, paths)
+
+
 def _q_extract_pages_verify(sf_dir: str) -> Any:
     """Extraction over PAGE-shaped media (each line strip stacked
     twice with a blank gap): OCR actors run layout='page' — column
@@ -1607,6 +1631,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_embed": _q_hash_embed,
         "retention_cohorts": _q_retention_cohorts,
         "cms_counts": _q_cms_counts,
+        # new in round 5 (also ungated -> early in the rotation):
+        "extract_jpeg_verify": _q_extract_jpeg_verify,
         # gated green in CORRECTNESS_r04.json:
         "bigram_logprob": _q_bigram_logprob,
         "inverted_index": _q_inverted_index,
@@ -1739,6 +1765,11 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             ) ORDER BY doc_id
         """,
         "extract_png_verify": f"""
+            SELECT doc_id, TRUE AS spans_match FROM (
+                SELECT DISTINCT doc_id FROM read_parquet('{expected_flat}')
+            ) ORDER BY doc_id
+        """,
+        "extract_jpeg_verify": f"""
             SELECT doc_id, TRUE AS spans_match FROM (
                 SELECT DISTINCT doc_id FROM read_parquet('{expected_flat}')
             ) ORDER BY doc_id

@@ -2,13 +2,13 @@
 
 Media travel as opaque ``binary`` payload columns with typed metadata
 (width/height/format), processed by actor-pool ``map_batches`` stages.
-Image (raw-gray-u8 + pure-numpy PNG codec), audio (pure-numpy RIFF/PCM
-WAV reader -> spectral/energy features) and video (packed raw-frame
-sampler) columns are all REAL — decoded and computed with numpy alone.
-Only external-codec container formats (JPEG, mp3/aac, mp4/h264) stay
-behind ``NotImplementedError``, since no codec library exists in this
-container; their Ray-side plumbing is identical to the working
-WAV/raw-frame paths.
+Image (raw-gray-u8 + pure-numpy PNG and baseline-JPEG codecs), audio
+(pure-numpy RIFF/PCM WAV reader -> spectral/energy features) and video
+(packed raw-frame sampler) columns are all REAL — decoded and computed
+with numpy alone. Only external-codec container formats (mp3/aac,
+mp4/h264, progressive/arithmetic JPEG) stay behind
+``NotImplementedError``; their Ray-side plumbing is identical to the
+working paths.
 """
 
 from __future__ import annotations
@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .. import kernels, png
+from .. import jpeg, kernels, png
 
 RAW_FORMAT = "raw-gray-u8"  # row-major uint8 grayscale, len == w*h
 
@@ -27,8 +27,8 @@ def valid_payload(raw, w, h) -> bool:
     or a payload shorter than w*h — must not crash the stage."""
     if raw is None:
         return False
-    if raw[:8] == png.SIGNATURE:
-        return True  # dims come from the PNG header, not the metadata
+    if raw[:8] == png.SIGNATURE or jpeg.is_jpeg(raw):
+        return True  # dims come from the codec header, not the metadata
     if w is None or h is None:
         return False
     try:
@@ -45,13 +45,16 @@ def valid_payload(raw, w, h) -> bool:
 def decode_raster(raw: bytes, width: int, height: int, fmt: str = RAW_FORMAT) -> np.ndarray:
     """binary payload -> HxW float32 [0,1] grayscale.
 
-    PNG payloads (the reference's real input format, exe_t.py:482) are
-    decoded with the pure-numpy codec in ``greenocr_ray.png`` — no
-    codec library needed. A payload carrying the PNG signature is
-    decoded as PNG regardless of ``fmt`` (content sniffing), so mixed
-    raw/PNG media tables need no format column."""
+    PNG and baseline-JPEG payloads (the reference reads whatever
+    cv2.imread supports, exe_t.py:482) are decoded with the pure-numpy
+    codecs in ``greenocr_ray.png`` / ``greenocr_ray.jpeg`` — no codec
+    library needed. A payload carrying a codec signature is decoded by
+    content sniffing regardless of ``fmt``, so mixed raw/PNG/JPEG
+    media tables need no format column."""
     if raw[:8] == png.SIGNATURE:
         fmt = "png"
+    elif jpeg.is_jpeg(raw):
+        fmt = "jpeg"
     if fmt == RAW_FORMAT:
         return (
             np.frombuffer(raw, dtype=np.uint8)
@@ -68,18 +71,20 @@ def decode_raster(raw: bytes, width: int, height: int, fmt: str = RAW_FORMAT) ->
             return a[:, :, 0] * a[:, :, 1] + (np.float32(1.0) - a[:, :, 1])
         return kernels.to_grayscale(arr)
     if fmt == "jpeg":
-        raise NotImplementedError(
-            "jpeg decode requires a codec library not present in this "
-            "environment; use PNG or raw-gray-u8 payloads"
-        )
+        arr = jpeg.decode_jpeg(raw)
+        if arr.ndim == 2:
+            return arr.astype(np.float32) / np.float32(255.0)
+        return kernels.to_grayscale(arr)
     raise ValueError(f"unknown media format {fmt!r}")
 
 
 def _decode_row(raw: bytes, w, h) -> np.ndarray:
-    """decode_raster for a validated row: PNG dims come from the
-    header, so metadata w/h are only trusted for raw payloads."""
+    """decode_raster for a validated row: PNG/JPEG dims come from the
+    codec header, so metadata w/h are only trusted for raw payloads."""
     if raw[:8] == png.SIGNATURE:
         return decode_raster(raw, 0, 0, fmt="png")
+    if jpeg.is_jpeg(raw):
+        return decode_raster(raw, 0, 0, fmt="jpeg")
     return decode_raster(raw, int(w), int(h))
 
 
@@ -313,6 +318,30 @@ def encode_media_png(batch: pa.Table) -> pa.Table:
             continue
         img = np.frombuffer(raw, dtype=np.uint8).reshape(int(h), int(w))
         out.append(png.encode_png(img))
+    i = batch.schema.get_field_index("pixels")
+    return batch.set_column(i, "pixels", pa.array(out, type=pa.binary()))
+
+
+def encode_media_jpeg(batch: pa.Table, quality: int = 95) -> pa.Table:
+    """raw-gray-u8 media rows -> the same rows with baseline-JPEG
+    payloads (schema unchanged; downstream stages sniff the JPEG
+    signature). Fixture/derivation helper for exercising the JPEG
+    decode path end-to-end — quality 95 keeps glyph strips exactly
+    recognizable."""
+    widths = batch.column("width").to_numpy()
+    heights = batch.column("height").to_numpy()
+    payloads = batch.column("pixels").to_pylist()
+    out = []
+    for raw, w, h in zip(payloads, widths, heights):
+        if (
+            not valid_payload(raw, w, h)
+            or raw[:8] == png.SIGNATURE
+            or jpeg.is_jpeg(raw)
+        ):
+            out.append(raw)
+            continue
+        img = np.frombuffer(raw, dtype=np.uint8).reshape(int(h), int(w))
+        out.append(jpeg.encode_jpeg(img, quality=quality))
     i = batch.schema.get_field_index("pixels")
     return batch.set_column(i, "pixels", pa.array(out, type=pa.binary()))
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .. import png
+from .. import jpeg, png
 from ..functions.multimodal import decode_raster
 from ..recognize import Recognizer
 
@@ -108,11 +108,15 @@ class _RecognizerBase:
                 texts.append("")
                 confs[i] = 0.0
                 continue
-            if raw[:8] == png.SIGNATURE:
-                # the reference's actual input format (exe_t.py:482):
-                # dims come from the PNG header, not row metadata
+            if raw[:8] == png.SIGNATURE or jpeg.is_jpeg(raw):
+                # the reference's actual input formats (exe_t.py:482,
+                # cv2.imread): dims come from the codec header, not
+                # row metadata
                 try:
-                    img = decode_raster(raw, 0, 0, fmt="png")
+                    img = decode_raster(
+                        raw, 0, 0,
+                        fmt="png" if raw[:8] == png.SIGNATURE else "jpeg",
+                    )
                 except ValueError:
                     texts.append("")
                     confs[i] = 0.0
