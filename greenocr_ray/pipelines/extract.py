@@ -44,6 +44,12 @@ from ..state.lineage import (
 @dataclass
 class ExtractOptions:
     enhance: str = "clahe"  # 'clahe' | 'stretch' | 'sr' (RL-deconv P1) | 'external'
+    # enhance='external': caller-supplied model fn (HxW float [0,1] ->
+    # HxW float [0,1]) — the learned-SR slot (exe_t.py:483-499). The
+    # callable is cloudpickled into every OCR actor's constructor and
+    # runs once per image inside the pool; a torch/ONNX wrapper drops
+    # in here on a real cluster without touching the pipeline.
+    enhance_fn: object = None
     binarization: str = "otsu"  # 'otsu' | 'sauvola'
     n_parts: int = 16  # output/checkpoint partitions
     join_partitions: int = 16  # media_ref hash-join partitions
@@ -168,6 +174,7 @@ def extract_flat(
             "enhance": opts.enhance,
             "binarization": opts.binarization,
             "layout": opts.ocr_layout,
+            "enhance_fn": opts.enhance_fn,
         },
         batch_format="pyarrow",
         batch_size=opts.ocr_batch_size,

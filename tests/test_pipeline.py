@@ -139,3 +139,76 @@ def test_diacritic_extraction_end_to_end():
         assert spans_key(res.loc[doc_id, "spans"]) == spans_key(
             exp.loc[doc_id, "spans"]
         ), doc_id
+
+
+def test_external_enhance_through_actor_pool(ray_session):
+    """The enhance='external' seam end-to-end (VERDICT r4 #8): media
+    payloads are blurred past what the default CLAHE chain can read
+    (sigma 2.1 fade 0.35+0.4x — measured: 4/17 media misread under
+    CLAHE, 0/17 under the external RL model, u8-quantized), a
+    NON-TRIVIAL caller-supplied model fn (Richardson-Lucy deconv +
+    CLAHE — the torch/ONNX swap-in shape, exe_t.py:483-499) is
+    cloudpickled into every OCR actor via ExtractOptions.enhance_fn,
+    and the full actor-pool extract recovers the exact span sequence,
+    while the default chain on the same blurred media does not."""
+    import numpy as np
+
+    from greenocr_ray import kernels
+
+    docs, media, expected = make_corpus(n_docs=12, seed=9)
+
+    def blur_media(t: pa.Table) -> pa.Table:
+        ws = t.column("width").to_numpy()
+        hs = t.column("height").to_numpy()
+        out = []
+        for raw, w, h in zip(t.column("pixels").to_pylist(), ws, hs):
+            img = (
+                np.frombuffer(raw, dtype=np.uint8)
+                .reshape(int(h), int(w))
+                .astype(np.float32)
+                / np.float32(255.0)
+            )
+            bl = kernels.gaussian_blur(0.35 + 0.4 * img, 2.1)
+            out.append(
+                np.clip(np.round(bl * 255), 0, 255).astype(np.uint8).tobytes()
+            )
+        i = t.schema.get_field_index("pixels")
+        return t.set_column(i, "pixels", pa.array(out, type=pa.binary()))
+
+    blurred = rd.from_arrow(media).map_batches(
+        blur_media, batch_format="pyarrow"
+    )
+
+    def external_model(img):
+        # stands in for a learned SR model loaded in the actor
+        return kernels.clahe(kernels.sr_enhance(img))
+
+    out = extract_dataset(
+        rd.from_arrow(docs),
+        blurred,
+        ExtractOptions(
+            enhance="external",
+            enhance_fn=external_model,
+            ocr_concurrency=(1, 3),
+            join_partitions=4,
+        ),
+    )
+    res = out.to_pandas().set_index("doc_id")
+    exp = expected.to_pandas().set_index("doc_id")
+    for doc_id in exp.index:
+        assert spans_key(res.loc[doc_id, "spans"]) == spans_key(
+            exp.loc[doc_id, "spans"]
+        ), doc_id
+
+    # the default chain genuinely fails on this degradation (so the
+    # external fn demonstrably ran inside the pool)
+    base = extract_dataset(
+        rd.from_arrow(docs),
+        blurred,
+        ExtractOptions(ocr_concurrency=(1, 3), join_partitions=4),
+    ).to_pandas().set_index("doc_id")
+    mismatches = sum(
+        spans_key(base.loc[d, "spans"]) != spans_key(exp.loc[d, "spans"])
+        for d in exp.index
+    )
+    assert mismatches > 0
