@@ -2737,9 +2737,9 @@ def cms_token_counts(
     Guarantee: est(t) = min_r sketch[r][h_r(t)] >= true count always;
     overestimate <= eps·N with prob 1-(1/2)^depth at width = e/eps.
     """
-    import hashlib
-
     from collections import Counter
+
+    from ..rayutil import md5_digests
 
     def partial(t: pa.Table) -> pa.Table:
         c: Counter = Counter()
@@ -2749,15 +2749,13 @@ def cms_token_counts(
         if c:
             toks = list(c.keys())
             cnts = np.fromiter(c.values(), dtype=np.int64, count=len(toks))
-            digs = np.stack(
-                [
-                    np.frombuffer(
-                        hashlib.md5(tk.encode("utf-8")).digest(),
-                        dtype="<u4",
-                    )
-                    for tk in toks
-                ]
-            )  # (n_tokens, 4) independent 32-bit hash slices
+            # vectorized md5 over the batch's DISTINCT tokens; same
+            # (n_tokens, 4) independent 32-bit slices as hashlib
+            digs = (
+                md5_digests([tk.encode("utf-8") for tk in toks])
+                .view("<u4")
+                .reshape(-1, 4)
+            )
             for r in range(depth):
                 idx = digs[:, r % 4].astype(np.int64)
                 if r >= 4:  # >4 rows: fold upper/lower slices
