@@ -2711,7 +2711,13 @@ def dedup_substrings(
         )
         .groupby("bucket", num_partitions=num_partitions)
         .map_groups(rebuild, batch_format="pandas")
-        .filter(lambda r: r["doc_id"] >= 0)
+        # vectorized Arrow filter — Dataset.filter(callable) iterates
+        # PYTHON ROWS (measured 6.6 s of the query's 5 s UDF budget
+        # fused into the rebuild stage at sf0.1)
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("doc_id"), 0)),
+            batch_format="pyarrow",
+        )
     )
     return cleaned
 
