@@ -165,6 +165,30 @@ class MinHasher:
         )
 
 
+_HASHER_CACHE: dict = {}
+
+
+def _cached_minhasher(num_perm: int) -> "MinHasher":
+    """One MinHasher per (worker process, num_perm) — task-based
+    stages reuse it across batches exactly like actor state, without
+    paying actor-pool spin-up."""
+    mh = _HASHER_CACHE.get(("minhash", num_perm))
+    if mh is None:
+        mh = MinHasher(num_perm=num_perm)
+        _HASHER_CACHE[("minhash", num_perm)] = mh
+    return mh
+
+
+def _cached_simhasher() -> "SimHasher":
+    """Worker-process SimHasher singleton: its cross-batch token-hash
+    cache survives task reuse the same way actor state would."""
+    sh = _HASHER_CACHE.get("simhash")
+    if sh is None:
+        sh = SimHasher()
+        _HASHER_CACHE["simhash"] = sh
+    return sh
+
+
 def _band_rows(batch: pa.Table, num_perm: int, bands: int) -> pa.Table:
     """signature -> one row per (band_id, band_hash) — the LSH explode."""
     rows_per_band = num_perm // bands
@@ -452,12 +476,15 @@ def minhash_candidate_pairs(
     """LSH candidate pairs -> (doc_a, doc_b) rows, doc_a < doc_b; a
     pair appears ONCE PER FIRING BAND (dedupe happens driver-side in
     ``minhash_dedup_pairs``, where the pair count is already small)."""
-    sigs = docs.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm},
-        batch_format="pyarrow",
-        concurrency=(2, 8),
-    )
+    # task-based stage with a worker-process-cached hasher: the
+    # MinHasher's only construct state is two 64-int coefficient
+    # arrays (microseconds), so an actor POOL paid ~2 s of spin-up per
+    # query for nothing — tasks schedule elastically and the cached
+    # instance persists in each reused worker process
+    def sig_batch(t: pa.Table) -> pa.Table:
+        return _cached_minhasher(num_perm)(t)
+
+    sigs = docs.map_batches(sig_batch, batch_format="pyarrow")
     banded = sigs.map_batches(
         lambda t: _band_rows(t, num_perm, bands), batch_format="pyarrow"
     )
@@ -606,7 +633,12 @@ class SimHasher:
 
 
 def simhash_table(docs: rd.Dataset) -> rd.Dataset:
-    return docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=(2, 8))
+    # task-based (see _cached_minhasher): the token-hash cache lives in
+    # the worker process, so it still persists across batches without
+    # actor-pool spin-up cost
+    return docs.map_batches(
+        lambda t: _cached_simhasher()(t), batch_format="pyarrow"
+    )
 
 
 _SIM_BANDS = 4  # 4 x 16-bit bands over the 64-bit simhash
