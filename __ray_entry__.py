@@ -264,13 +264,13 @@ def _q_langid(sf_dir: str) -> Any:
     import pandas as pd
     import ray.data as rd
 
-    from greenocr_ray.functions.textstats import LangId
+    from greenocr_ray.functions.textstats import LangId, _cached_langid_call
 
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
     scored = (
-        ds.map_batches(LangId, batch_format="pandas", concurrency=(2, 8))
+        ds.map_batches(_cached_langid_call, batch_format="pandas")
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)

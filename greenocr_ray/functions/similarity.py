@@ -73,9 +73,22 @@ def knn_cosine(
     )
 
 
+_LSH_CACHE: dict = {}
+
+
+def _cached_lsh_indexer(dim: int, nbits: int) -> "LshIndexer":
+    """One LshIndexer per (worker process, dim, nbits) — task stages
+    reuse it across batches like actor state, without pool spin-up."""
+    idx = _LSH_CACHE.get((dim, nbits))
+    if idx is None:
+        idx = LshIndexer(dim=dim, nbits=nbits)
+        _LSH_CACHE[(dim, nbits)] = idx
+    return idx
+
+
 class LshIndexer:
     """Random-hyperplane LSH bucketer (stateful: plane matrix built
-    once per actor)."""
+    once per worker — see _cached_lsh_indexer)."""
 
     def __init__(self, dim: int = 64, nbits: int = 8, seed: int = 99):
         rng = np.random.Generator(np.random.PCG64(seed))
@@ -124,12 +137,13 @@ def knn_cosine_lsh(
                 b ^= 1 << f
             probes.add(b)
     probe_arr = pa.array(sorted(probes), type=pa.int64())
-    bucketed = embeddings.map_batches(
-        LshIndexer,
-        fn_constructor_kwargs={"dim": dim, "nbits": nbits},
-        batch_format="pyarrow",
-        concurrency=(2, 8),
-    )
+    # task-based with a worker-process-cached indexer: the plane
+    # matrix costs microseconds to build, so an actor pool paid ~2 s
+    # of spin-up per query for nothing (same change as MinHasher)
+    def bucket_batch(t: pa.Table) -> pa.Table:
+        return _cached_lsh_indexer(dim, nbits)(t)
+
+    bucketed = embeddings.map_batches(bucket_batch, batch_format="pyarrow")
 
     def only_probed(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -152,13 +152,27 @@ def fingerprint(batch: pa.Table, k: int = 8, window: int = 4) -> pa.Table:
     )
 
 
+_LANGID_CACHE: dict = {}
+
+
+def _cached_langid_call(df: pd.DataFrame) -> pd.DataFrame:
+    clf = _LANGID_CACHE.get("langid")
+    if clf is None:
+        clf = LangId()
+        _LANGID_CACHE["langid"] = clf
+    return clf(df)
+
+
 def langid_accuracy(docs: rd.Dataset) -> pd.DataFrame:
     """Accuracy of the n-gram langid vs the table's lang labels —
     per-lang partial counts in map_batches, driver fold (languages are
     a bounded-cardinality key)."""
     from .relational import combine_small_agg
 
-    scored = docs.map_batches(LangId, batch_format="pandas", concurrency=(2, 8))
+    # task-based with a worker-process-cached classifier: LangId's
+    # construct state is a handful of trigram frozensets, so an actor
+    # pool paid ~2 s of spin-up per query for nothing
+    scored = docs.map_batches(_cached_langid_call, batch_format="pandas")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(correct=(df["pred_lang"] == df["lang"]).astype("int64"))
