@@ -102,6 +102,50 @@ def test_rejects_non_jpeg_and_progressive():
     assert not is_jpeg(b"\xff\xd8")  # too short / wrong third byte
 
 
+def test_extract_mixed_codec_media(ray_session):
+    """One media table mixing raw-gray-u8, PNG and JPEG payloads
+    extracts with exact span equality — the content-sniffing contract
+    (no format column needed)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from greenocr_ray import png
+    from greenocr_ray.fixtures.gen import make_corpus
+    from greenocr_ray.pipelines.extract import ExtractOptions, extract_dataset
+    from tests.test_pipeline import spans_key
+
+    docs, media, expected = make_corpus(n_docs=15, seed=31)
+
+    def mix(t: pa.Table) -> pa.Table:
+        ws = t.column("width").to_numpy()
+        hs = t.column("height").to_numpy()
+        out = []
+        for i, (raw, w, h) in enumerate(
+            zip(t.column("pixels").to_pylist(), ws, hs)
+        ):
+            img = np.frombuffer(raw, dtype=np.uint8).reshape(int(h), int(w))
+            if i % 3 == 1:
+                out.append(png.encode_png(img))
+            elif i % 3 == 2:
+                out.append(encode_jpeg(img, quality=95))
+            else:
+                out.append(raw)
+        j = t.schema.get_field_index("pixels")
+        return t.set_column(j, "pixels", pa.array(out, type=pa.binary()))
+
+    mixed = rd.from_arrow(media).map_batches(mix, batch_format="pyarrow")
+    res = extract_dataset(
+        rd.from_arrow(docs),
+        mixed,
+        ExtractOptions(ocr_concurrency=(1, 3), join_partitions=4),
+    ).to_pandas().set_index("doc_id")
+    exp = expected.to_pandas().set_index("doc_id")
+    for doc_id in exp.index:
+        assert spans_key(res.loc[doc_id, "spans"]) == spans_key(
+            exp.loc[doc_id, "spans"]
+        ), doc_id
+
+
 def test_ocr_exact_through_jpeg(ray_session):
     """The OCR actor path recognizes a JPEG payload identically to its
     raw-gray source (the extract_jpeg_verify invariant, in miniature)."""
